@@ -1,0 +1,93 @@
+"""SparkSession construction and engine-wide configuration.
+
+The reference tunes Spark via a static conf map
+(``api/src/main/scala/.../model/Constants.scala:184-196`` — AQE on, CBO on,
+``shuffle.partitions=10``).  We keep the same philosophy — declare the plan,
+let Catalyst/AQE pick physical strategy — but size defaults for a large
+cluster and make everything overridable.
+
+Iceberg is the primary production catalog (per BASELINE north_rule).  The
+sandbox image has no Iceberg runtime jar, so :func:`iceberg_available` gates
+it and the sources layer falls back to partitioned parquet plus an explicit
+manifest sidecar (``sources/manifest.py``) that supplies the same
+snapshot/resume semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for scale, not for the 60k-row sandbox:
+#  - AQE owns runtime shuffle-partition coalescing and skew-join splitting,
+#    so a generous static shuffle.partitions is safe.
+#  - Arrow must be on: every Python-side stage in this engine is a
+#    pandas/Arrow UDF (no row-at-a-time Python anywhere).
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.session.timeZone": "UTC",
+    # parquet scans: vectorized reader + pushdown are defaults, pinned here
+    # so a misconfigured cluster can't silently disable them.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def iceberg_available() -> bool:
+    """True when an Iceberg Spark runtime jar is on the classpath."""
+    try:
+        import pyspark
+
+        jar_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        return any("iceberg-spark-runtime" in j for j in os.listdir(jar_dir))
+    except OSError:
+        return False
+
+
+def get_spark(
+    app_name: str = "data-caterer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: Mapping[str, str] | None = None,
+    iceberg_warehouse: str | None = None,
+) -> SparkSession:
+    """Build (or fetch) a session with the engine defaults applied.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]`` in the sandbox;
+    on a real cluster leave it unset and let spark-submit decide.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+    conf = dict(DEFAULT_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if iceberg_warehouse is not None and iceberg_available():
+        conf.update(
+            {
+                "spark.sql.catalog.local": "org.apache.iceberg.spark.SparkCatalog",
+                "spark.sql.catalog.local.type": "hadoop",
+                "spark.sql.catalog.local.warehouse": iceberg_warehouse,
+                "spark.sql.extensions": (
+                    "org.apache.iceberg.spark.extensions"
+                    ".IcebergSparkSessionExtensions"
+                ),
+            }
+        )
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
