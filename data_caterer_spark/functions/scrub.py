@@ -1,0 +1,85 @@
+"""PII/toxicity scrub stage.
+
+Two interchangeable implementations of the SAME bank
+(``textcore.SCRUB_BANK``, total order):
+
+* :func:`scrub_columns` — chained JVM ``regexp_replace`` (default; pure
+  Catalyst, whole-stage codegen, zero Python).  Hit flags come from
+  ``RLIKE`` on the pre-scrub text.
+* :func:`scrub_udf` — compiled-regex ``pd.Series.str.replace`` pandas UDF
+  (the BASELINE north_star shape; useful when the bank outgrows what Java
+  regex shares with the authoring dialect).
+
+Byte-equality across both paths and the pure-Python labeler holds because
+all patterns live in the common Java/Python regex subset — pinned by
+tests/test_parity.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .textcore import SCRUB_BANK, scrub_text
+
+
+def _scrub_pair(text: str | Column) -> tuple[Column, Column]:
+    """(scrubbed, hits) with SEQUENTIAL hit semantics.
+
+    Each step's hit flag is evaluated against the text as scrubbed by the
+    PRIOR steps — matching the Python kernel exactly.  (A 16-digit card
+    also matches the phone pattern in the raw text, but not once the card
+    step has replaced it; flagging against the raw text would diverge.)
+    """
+    cur = F.col(text) if isinstance(text, str) else text
+    flags = []
+    for rid, pattern, replacement in SCRUB_BANK:
+        flags.append(F.when(cur.rlike(pattern), F.lit(rid)))
+        cur = F.regexp_replace(cur, pattern, replacement)
+    return cur, F.array_compact(F.array(*flags))
+
+
+def scrubbed_column(text: str | Column) -> Column:
+    """Sequential regexp_replace chain in bank order (JVM path)."""
+    return _scrub_pair(text)[0]
+
+
+def scrub_hits_column(text: str | Column) -> Column:
+    """array<string> of bank rule ids, sequential semantics (see _scrub_pair)."""
+    return _scrub_pair(text)[1]
+
+
+def scrub_columns(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "scrubbed_text",
+    hits_col: str | None = "scrub_hits",
+) -> DataFrame:
+    scrubbed, hits = _scrub_pair(text_col)
+    cols = {out_col: scrubbed}
+    if hits_col:
+        cols[hits_col] = hits
+    return df.withColumns(cols)
+
+
+def scrub_udf():
+    """Arrow-batched scrub via the shared pure-Python kernel (factory —
+    pandas_udf return-type parsing needs an active session)."""
+
+    @pandas_udf("scrubbed_text string, scrub_hits array<string>")
+    def _scrub(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for series in batches:
+            out_text, out_hits = [], []
+            for t in series:
+                scrubbed, hits = scrub_text(None if pd.isna(t) else t)
+                out_text.append(scrubbed)
+                out_hits.append(hits)
+            yield pd.DataFrame(
+                {"scrubbed_text": out_text, "scrub_hits": out_hits}
+            )
+
+    return _scrub

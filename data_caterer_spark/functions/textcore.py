@@ -1,0 +1,349 @@
+"""Pure-Python/numpy text kernels shared by the Spark pandas UDFs and the
+single-threaded reference labeler (``data_caterer_spark.labeler``).
+
+Both sides import THESE functions, so keep/drop decisions and scrubbed text
+are byte-identical by construction — the F1/byte-equality criterion in
+BASELINE.json reduces to "the Spark plan calls the same kernels on the same
+rows".  No pyspark imports here.
+
+Regex patterns are authored in the common subset of Java regex (Spark
+``regexp_replace``/``RLIKE``) and Python ``re``: explicit ASCII classes, no
+``\\d``/``\\s`` shorthands (their Unicode semantics differ between engines),
+no lookaround.  The scrub bank order is TOTAL and documented — scrubbing is
+sequential, so order is part of the spec (SURVEY.md §7 "hard parts").
+
+The langid model is an n-gram-profile classifier standing in for fastText
+(the fasttext lib is not in this image).  It keeps fastText's deployment
+shape — a broadcast binary model, batch predict — so a real
+``fasttext.load_model`` can be swapped in behind ``LangIdModel``.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# tokenization / feature kernels (mirrored by SQL in functions/text.py)
+# --------------------------------------------------------------------------
+
+# explicit ASCII whitespace — identical in Java regex and Python re
+WS_RE = re.compile(r"[ \t\n\r\f]+")
+NON_ALNUM_RE = re.compile(r"[^A-Za-z0-9 \t\n\r\f]")
+
+
+def tokens_of(text: str) -> list[str]:
+    return [t for t in WS_RE.split(text) if t != ""]
+
+
+def token_count(text: str) -> int:
+    return len(tokens_of(text))
+
+
+def word_repetition_ratio(text: str) -> float:
+    """1 - distinct/total over lowercased whitespace tokens; 0.0 if empty."""
+    toks = [t.lower() for t in tokens_of(text)]
+    if not toks:
+        return 0.0
+    return 1.0 - len(set(toks)) / len(toks)
+
+
+def symbol_ratio(text: str) -> float:
+    """Fraction of characters that are not ASCII alphanumerics/whitespace."""
+    n = len(text)
+    if n == 0:
+        return 0.0
+    kept = len(NON_ALNUM_RE.sub("", text))
+    return (n - kept) / n
+
+
+def fingerprint(text: str) -> int:
+    """Deterministic 32-bit document fingerprint (rolling CRC over the
+    whitespace-normalized lowercase text).  Used for exact-dup detection."""
+    normalized = " ".join(tokens_of(text)).lower()
+    return zlib.crc32(normalized.encode("utf-8"))
+
+
+# --------------------------------------------------------------------------
+# PII / toxicity scrub bank — TOTAL order, applied sequentially
+# --------------------------------------------------------------------------
+
+TOXICITY_LEXICON = [
+    # stand-in lexicon for the fixture suite; production swaps in a real one
+    "frakking", "dangblast", "scumweasel", "gorramit", "shazbot",
+]
+
+# (rule_id, pattern, replacement) — order matters: CARD before PHONE so a
+# 16-digit run is tagged as a card, not a phone; EMAIL first so user@host
+# digits are not half-eaten by later numeric patterns.
+SCRUB_BANK: list[tuple[str, str, str]] = [
+    (
+        "pii_email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+        "[EMAIL]",
+    ),
+    (
+        "pii_card",
+        r"\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b",
+        "[CARD]",
+    ),
+    (
+        "pii_ssn",
+        r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+        "[SSN]",
+    ),
+    (
+        "pii_phone",
+        r"\+?[0-9]{1,3}[- .]?\(?[0-9]{3}\)?[- .]?[0-9]{3}[- .]?[0-9]{4}\b",
+        "[PHONE]",
+    ),
+    (
+        "pii_ip",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "[IP]",
+    ),
+    (
+        "toxicity",
+        r"(?i)\b(" + "|".join(TOXICITY_LEXICON) + r")\b",
+        "[TOX]",
+    ),
+]
+
+_COMPILED_BANK = [(rid, re.compile(pat), rep) for rid, pat, rep in SCRUB_BANK]
+
+
+def scrub_text(text: str | None) -> tuple[str | None, list[str]]:
+    """Apply the scrub bank in order; return (scrubbed, hit rule ids)."""
+    if text is None:
+        return None, []
+    hits: list[str] = []
+    out = text
+    for rid, rx, rep in _COMPILED_BANK:
+        new = rx.sub(rep, out)
+        if new != out:
+            hits.append(rid)
+        out = new
+    return out, hits
+
+
+# --------------------------------------------------------------------------
+# seed corpora (composed for this project; public common vocabulary)
+# --------------------------------------------------------------------------
+
+SEED_CORPORA: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and runs into the "
+        "forest where it finds a quiet stream of water flowing between "
+        "old stones. people often ask how the weather will change next "
+        "week and whether they should bring an umbrella to work. thank "
+        "you for your message, i will look into the problem and get back "
+        "to you with an answer as soon as possible. the model returned an "
+        "error because the input file was missing a required column. "
+        "please check the documentation before opening a new ticket. "
+        "what time does the train leave tomorrow morning from the main "
+        "station? i think we should test this function with a larger "
+        "dataset before we ship it to production. the results look good "
+        "overall but there are a few edge cases we still need to handle."
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso y corre "
+        "hacia el bosque donde encuentra un arroyo tranquilo. la gente "
+        "pregunta a menudo cómo cambiará el tiempo la próxima semana y si "
+        "deberían llevar un paraguas al trabajo. gracias por tu mensaje, "
+        "voy a revisar el problema y te responderé lo antes posible. el "
+        "modelo devolvió un error porque faltaba una columna en el "
+        "archivo de entrada. por favor consulta la documentación antes de "
+        "abrir un nuevo caso. ¿a qué hora sale el tren mañana por la "
+        "mañana desde la estación principal?"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et "
+        "court vers la forêt où il trouve un ruisseau tranquille. les "
+        "gens demandent souvent comment le temps va changer la semaine "
+        "prochaine et s'ils devraient apporter un parapluie au travail. "
+        "merci pour votre message, je vais examiner le problème et vous "
+        "répondre dès que possible. le modèle a renvoyé une erreur parce "
+        "qu'une colonne manquait dans le fichier d'entrée. veuillez "
+        "consulter la documentation avant d'ouvrir un nouveau dossier."
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und läuft "
+        "in den wald wo er einen ruhigen bach findet. die leute fragen "
+        "oft wie sich das wetter nächste woche ändern wird und ob sie "
+        "einen regenschirm zur arbeit mitbringen sollten. danke für ihre "
+        "nachricht, ich werde mir das problem ansehen und mich so bald "
+        "wie möglich bei ihnen melden. das modell hat einen fehler "
+        "zurückgegeben weil eine spalte in der eingabedatei fehlte. bitte "
+        "lesen sie die dokumentation bevor sie ein neues ticket öffnen."
+    ),
+    "pt": (
+        "a rápida raposa marrom pula sobre o cachorro preguiçoso e corre "
+        "para a floresta onde encontra um riacho tranquilo. as pessoas "
+        "perguntam com frequência como o tempo vai mudar na próxima "
+        "semana e se deveriam levar um guarda-chuva para o trabalho. "
+        "obrigado pela sua mensagem, vou analisar o problema e retornar "
+        "o mais rápido possível. o modelo retornou um erro porque faltava "
+        "uma coluna no arquivo de entrada."
+    ),
+    "it": (
+        "la veloce volpe marrone salta sopra il cane pigro e corre verso "
+        "la foresta dove trova un ruscello tranquillo. le persone "
+        "chiedono spesso come cambierà il tempo la prossima settimana e "
+        "se dovrebbero portare un ombrello al lavoro. grazie per il tuo "
+        "messaggio, esaminerò il problema e ti risponderò il prima "
+        "possibile. il modello ha restituito un errore perché mancava una "
+        "colonna nel file di input."
+    ),
+}
+
+# --------------------------------------------------------------------------
+# language identification — n-gram profile model (fastText stand-in)
+# --------------------------------------------------------------------------
+
+_LETTERS_RE = re.compile(r"[^a-zà-ÿäöüßñç ]+")
+
+
+def _lang_ngrams(text: str, n: int = 3) -> list[str]:
+    cleaned = _LETTERS_RE.sub(" ", text.lower())
+    cleaned = " ".join(cleaned.split())
+    padded = f" {cleaned} "
+    return [padded[i : i + n] for i in range(max(0, len(padded) - n + 1))]
+
+
+@dataclass
+class LangIdModel:
+    """Trigram log-probability profiles per language.
+
+    Deployment shape mirrors a broadcast fastText model: ``to_bytes`` /
+    ``from_bytes`` for ``SparkContext.broadcast``, batch ``predict``.
+    """
+
+    langs: list[str]
+    profiles: dict[str, dict[str, float]]
+    unseen_logp: float = -12.0
+    min_chars: int = 8
+
+    @classmethod
+    def train(cls, corpora: dict[str, str] | None = None) -> "LangIdModel":
+        corpora = corpora or SEED_CORPORA
+        profiles: dict[str, dict[str, float]] = {}
+        for lang, corpus in corpora.items():
+            grams = _lang_ngrams(corpus)
+            total = len(grams)
+            counts: dict[str, int] = {}
+            for g in grams:
+                counts[g] = counts.get(g, 0) + 1
+            profiles[lang] = {
+                g: math.log((c + 1) / (total + len(counts)))
+                for g, c in counts.items()
+            }
+        return cls(langs=sorted(corpora), profiles=profiles)
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps(self)
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "LangIdModel":
+        import pickle
+
+        return pickle.loads(raw)
+
+    def predict_one(self, text: str | None) -> tuple[str, float]:
+        """Returns (lang, avg trigram log-prob of the winning language).
+
+        Deterministic: ties broken by sorted language order; texts with too
+        little letter signal get ('und', unseen_logp).
+        """
+        if text is None:
+            return "und", self.unseen_logp
+        grams = _lang_ngrams(text)
+        if len(grams) < self.min_chars:
+            return "und", self.unseen_logp
+        best_lang, best_score = "und", -float("inf")
+        for lang in self.langs:
+            prof = self.profiles[lang]
+            score = 0.0
+            for g in grams:
+                score += prof.get(g, self.unseen_logp)
+            score /= len(grams)
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang, best_score
+
+    def predict(self, texts: list[str | None]) -> tuple[list[str], list[float]]:
+        langs, scores = [], []
+        for t in texts:
+            lang, s = self.predict_one(t)
+            langs.append(lang)
+            scores.append(s)
+        return langs, scores
+
+
+# --------------------------------------------------------------------------
+# perplexity — hashed char-trigram LM (KenLM-style stand-in)
+# --------------------------------------------------------------------------
+
+# bucket count sized to the seed corpus: with B >> corpus-trigram-count the
+# smoothing denominator dominates every score and the threshold loses all
+# meaning (measured: 2^16 buckets pushed clean English to ppl ≈ 35k).  4096
+# buckets + α=0.02 give clean ≈ 1.6k-4.7k vs gibberish ≥ 16k on held-out text.
+PPL_BUCKETS = 1 << 12
+PPL_ALPHA = 0.02
+_HASH_BASE = np.uint64(1099511628211)
+_HASH_SEED = np.uint64(14695981039346656037)
+
+
+def _hash_ngrams(text: str, n: int = 3) -> np.ndarray:
+    """FNV-1a over byte n-grams, vectorized; deterministic across platforms."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if data.size < n:
+        return np.empty(0, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(data, n).astype(np.uint64)
+    h = np.full(windows.shape[0], _HASH_SEED, dtype=np.uint64)
+    for i in range(n):
+        h = (h ^ windows[:, i]) * _HASH_BASE
+    return h % np.uint64(PPL_BUCKETS)
+
+
+@dataclass
+class PerplexityModel:
+    """Laplace-smoothed hashed-trigram LM; ppl = exp(-mean log p(gram))."""
+
+    logprob: np.ndarray  # float64[PPL_BUCKETS]
+    empty_ppl: float = 1e6
+
+    @classmethod
+    def train(cls, corpus: str | None = None) -> "PerplexityModel":
+        corpus = corpus or SEED_CORPORA["en"]
+        counts = np.zeros(PPL_BUCKETS, dtype=np.float64)
+        idx = _hash_ngrams(" ".join(corpus.lower().split()))
+        np.add.at(counts, idx.astype(np.int64), 1.0)
+        total = counts.sum()
+        logp = np.log((counts + PPL_ALPHA) / (total + PPL_ALPHA * PPL_BUCKETS))
+        return cls(logprob=logp)
+
+    def to_bytes(self) -> bytes:
+        return self.logprob.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "PerplexityModel":
+        return cls(logprob=np.frombuffer(raw, dtype=np.float64).copy())
+
+    def score_one(self, text: str | None) -> float:
+        if text is None:
+            return self.empty_ppl
+        normalized = " ".join(text.lower().split())
+        idx = _hash_ngrams(normalized)
+        if idx.size == 0:
+            return self.empty_ppl
+        mean_logp = float(np.mean(self.logprob[idx.astype(np.int64)]))
+        return float(math.exp(-mean_logp))
+
+    def score(self, texts: list[str | None]) -> list[float]:
+        return [self.score_one(t) for t in texts]

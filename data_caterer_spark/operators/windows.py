@@ -1,0 +1,109 @@
+"""Conversation ordering, window features, and skew-safe aggregation.
+
+The reference has no window functions (SURVEY.md §2.5); the target needs
+them for stable turn order and cross-turn rules.  Scale rules encoded here:
+
+* ``lag``/``lead``/``row_number`` over ``(conv_id, turn_idx)`` use a
+  STREAMING window frame — Spark evaluates them without buffering the whole
+  partition, so even a 10^6-turn hot conversation is a sort, not an OOM.
+* Per-conversation AGGREGATES never use ``count().over(partitionBy)``
+  (that would re-shuffle and buffer); they use a two-stage SALTED
+  aggregation (``salted_conversation_stats``) — partial agg on
+  ``(conv_id, salt)`` spreads a hot key over N reducers, final agg on
+  ``conv_id`` touches only one row per (conv, salt).  This is the target's
+  analog of the reference's skew-avoiding ordinal join
+  (``ForeignKeyUtil.scala:242-252``, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_BUCKETS = 16
+
+
+def conversation_window() -> Window:
+    return Window.partitionBy("conv_id").orderBy("turn_idx")
+
+
+def with_turn_order_features(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming-frame window features: prev role, turn contiguity, ts order.
+
+    One shuffle on ``conv_col``; lag/row_number evaluate streamingly after
+    the sort, so hot conversations cost sort time, not memory.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    return df.withColumns(
+        {
+            "prev_role": F.lag(role_col).over(w),
+            "prev_turn_idx": F.lag(idx_col).over(w),
+            "prev_ts": F.lag(ts_col).over(w),
+            "turn_rank": F.row_number().over(w),
+        }
+    )
+
+
+def salted_conversation_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Two-stage (salted) per-conversation aggregate.
+
+    Stage 1 groups on ``(conv_id, salt)`` where salt is derived from the
+    row's own turn_idx (deterministic, no rand()): a hot conversation's
+    partial aggregation spreads across ``salt_buckets`` reducers.  Stage 2
+    merges partials per conversation — at most ``salt_buckets`` rows per
+    key, never skewed.  Returns one row per conv_id.
+
+    Default stats: conv_len (turn count), conv_min_idx, conv_max_idx.
+    Extra ``aggs`` must be decomposable (sum/count/min/max) — they are
+    applied in stage 1 and merged with the matching combiner in stage 2.
+    """
+    salt = F.pmod(F.col("turn_idx"), F.lit(salt_buckets)) if "turn_idx" in df.columns \
+        else F.pmod(F.abs(F.xxhash64(F.monotonically_increasing_id())), F.lit(salt_buckets))
+    partial = df.groupBy(F.col(conv_col), salt.alias("__salt")).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min("turn_idx").alias("__min_idx"),
+        F.max("turn_idx").alias("__max_idx"),
+    )
+    return partial.groupBy(conv_col).agg(
+        F.sum("__cnt").alias("conv_len"),
+        F.min("__min_idx").alias("conv_min_idx"),
+        F.max("__max_idx").alias("conv_max_idx"),
+    )
+
+
+def with_conversation_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Join per-conversation stats back onto turns.
+
+    The stats side is one row per conversation — orders of magnitude
+    smaller than the turn table; AQE picks broadcast when it fits, and its
+    skew-join splitting covers the join back to a hot key (config pinned in
+    ``config.DEFAULT_CONF``).
+    """
+    stats = salted_conversation_stats(df, conv_col, salt_buckets)
+    return df.join(stats, on=conv_col, how="left")
+
+
+def stable_order(df: DataFrame, conv_col: str = "conv_id", idx_col: str = "turn_idx") -> DataFrame:
+    """Cluster rows by conversation and sort within partitions.
+
+    Gives the deterministic (conv_id, turn_idx) ordering the byte-equality
+    criterion requires without a global sort: repartition by conv hash,
+    then sortWithinPartitions — each conversation is contiguous and
+    ordered; no total order across conversations is promised or needed.
+    """
+    return df.repartition(conv_col).sortWithinPartitions(conv_col, idx_col)

@@ -25,7 +25,7 @@ def spark():
         app_name="dc-spark-tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g", "spark.sql.ansi.enabled": "false"},
+        extra_conf={"spark.driver.memory": "4g"},
     )
     yield session
 
