@@ -54,17 +54,54 @@ def iceberg_available() -> bool:
         return False
 
 
+def package_zip() -> str:
+    """Zip this package into a temp file for shipping to Python workers.
+
+    The production deployment is ``spark-submit --py-files dcs.zip`` (per
+    the scale criteria); this builds the equivalent artifact at runtime so
+    a bare ``get_spark()`` session is self-contained — pandas-UDF closures
+    referencing the package deserialize on every worker regardless of how
+    the driver found the package.  Cached per process.
+    """
+    global _PACKAGE_ZIP
+    if _PACKAGE_ZIP is not None and os.path.exists(_PACKAGE_ZIP):
+        return _PACKAGE_ZIP
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    fd, path = tempfile.mkstemp(prefix="dcs_pkg_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    _PACKAGE_ZIP = path
+    return path
+
+
+_PACKAGE_ZIP: str | None = None
+
+
 def get_spark(
     app_name: str = "data-caterer-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: Mapping[str, str] | None = None,
     iceberg_warehouse: str | None = None,
+    ship_package: bool = True,
 ) -> SparkSession:
     """Build (or fetch) a session with the engine defaults applied.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]`` in the sandbox;
     on a real cluster leave it unset and let spark-submit decide.
+    ``ship_package`` adds this package as a py-file so executor Python
+    workers can import it no matter where the driver loaded it from.
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_GRAFT_CPUS" in os.environ:
@@ -90,4 +127,7 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    session = builder.getOrCreate()
+    if ship_package:
+        session.sparkContext.addPyFile(package_zip())
+    return session

@@ -1,0 +1,419 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each designed around one shuffle discipline (the reference
+has only exact `dropDuplicates` + anti-join, ``UniqueFieldsUtil.scala:17-22``;
+everything else here is new-build per the target brief):
+
+* **exact**        — hash-groupBy on a normalized-text fingerprint; one
+  shuffle on the fingerprint, no text comparison after the hash.
+* **n-gram Jaccard** — exact set-similarity self-join blocked on shared
+  shingles (a pair is only compared if it shares >=1 shingle, and each
+  shingle block is a tiny join group); the standard "inverted index" join.
+* **MinHash + LSH** — signature = per-doc min over permuted shingle hashes;
+  banding turns near-dup search into an equi-join on (band, band_hash):
+  candidate generation never compares documents pairwise.
+* **SimHash**      — 64-bit weighted-bit fingerprint; near-dup = small
+  Hamming distance, found by banding the fingerprint into 16-bit chunks
+  (pigeonhole: hamming<=3 over 4 chunks => at least one chunk equal).
+* **embedding cosine** — see operators/similarity.py (shared kernels).
+
+Scale notes: every candidate-generation path is an equi-join on a derived
+key (shingle / band hash / chunk), so Spark shuffles both sides on that key
+— no cross join anywhere.  Hot blocks (a shingle shared by millions of
+docs, e.g. "the quick brown") are the skew risk; `max_block` caps block
+size by dropping top-frequency shingles from *blocking only* (they still
+count toward verification), the standard prefix-filter trick.
+
+All hashes are `xxhash64` (JVM, codegen) — nothing crosses to Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+# --------------------------------------------------------------------------
+# shared text canonicalization
+# --------------------------------------------------------------------------
+
+
+def normalized_text(text: str | Column) -> Column:
+    """Lowercased, whitespace-collapsed text (mirror of
+    ``textcore.fingerprint`` normalization; oracle: DuckDB expressible)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.array_join(T.tokens(c), " "))
+
+
+def word_shingles(text: str | Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of the normalized text: array<string>.
+
+    Sliding window over the token array via transform(sequence) — pure
+    Catalyst, no UDF.  Documents shorter than k tokens get their whole
+    normalized text as a single shingle so they can still block/match.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.transform(T.tokens(c), lambda x: F.lower(x))
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return F.when(n >= k, F.array_distinct(windows)).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of exact duplicates (after normalization).
+
+    Returns one row per duplicated normalized text: (rep_id, dup_count)
+    where rep_id is the smallest member id — deterministic representative.
+    One shuffle, map-side combined.  At 100 TB the groupBy key is the
+    *fingerprint hash*, not the text, so shuffle rows stay small; the
+    normalized text never needs to leave the scan stage.
+    """
+    fp = F.xxhash64(normalized_text(text_col)).alias("__fp")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .where(F.col("dup_count") > 1)
+        .select("rep_id", "dup_count")
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id representative of every normalized-text group.
+
+    Window-free formulation: groupBy fingerprint -> min id, then semi-join
+    back.  Two narrow shuffles on a long key; no full-row shuffle of the
+    text payload (the semi join carries only ids until the final join).
+    """
+    fp = F.xxhash64(normalized_text(text_col))
+    with_fp = df.withColumn("__fp", fp)
+    keepers = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        with_fp.join(keepers, on=["__fp", id_col], how="left_semi").drop("__fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index self-join)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_block: int | None = 1000,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
+
+    Plan: explode distinct shingles -> self equi-join on shingle (blocking)
+    -> count shared shingles per pair -> join per-doc set sizes -> Jaccard.
+    Exact (oracle-able in plain SQL).  ``max_block`` drops shingles whose
+    posting list exceeds the cap from *blocking* — at web scale a stopword
+    shingle would otherwise create a quadratic block; dropping it from
+    blocking can only lose pairs whose every shared shingle is that common,
+    which a frequency cap this high makes negligible (and the verify step
+    still computes the TRUE Jaccard, so no false positives ever).
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, k).alias("__sh"),
+        )
+        .withColumn("__set_size", F.size("__sh"))
+        .where(F.col("__set_size") > 0)
+    )
+    posts = sh.select("id", "__set_size", F.explode("__sh").alias("shingle"))
+    if max_block is not None:
+        freq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        posts = (
+            posts.join(freq.where(F.col("__df") <= max_block), "shingle")
+            .drop("__df")
+        )
+    a = posts.select(
+        F.col("shingle"),
+        F.col("id").alias("id_a"),
+        F.col("__set_size").alias("size_a"),
+    )
+    b = posts.select(
+        F.col("shingle"),
+        F.col("id").alias("id_b"),
+        F.col("__set_size").alias("size_b"),
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    jac = F.col("__inter") / (
+        F.col("size_a") + F.col("size_b") - F.col("__inter")
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+# Mersenne prime 2^31-1; permutation family h_i(x) = (a_i*x + b_i) mod p.
+# 31-bit domain keeps h*a+b < 2^63 so ANSI-mode long arithmetic never
+# overflows (Spark 4 defaults to spark.sql.ansi.enabled=true).
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs derived from a seeded splitmix-style walk
+    (no RNG object: reproducible across platforms and executor counts)."""
+    params = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (state % (_MERSENNE - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = state % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    text: str | Column, num_hashes: int = 64, k: int = 3, seed: int = 42
+) -> Column:
+    """array<bigint> MinHash signature, computed without explode/shuffle.
+
+    Base shingle hash once (`xxhash64`), then the i-th permutation is pure
+    arithmetic folded over the shingle array with ``aggregate`` — the whole
+    signature is a single codegen'd projection per row.  abs() keeps the
+    permutation domain in [0, 2^61) so min() is well ordered.
+    """
+    base = F.transform(
+        word_shingles(text, k), lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE)
+    )
+    mins = []
+    for a, b in _perm_params(num_hashes, seed):
+        mins.append(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE),
+                )
+            )
+        )
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs via banded MinHash, verified with estimated Jaccard.
+
+    rows-per-band r = num_hashes/bands; the S-curve midpoint is
+    (1/bands)^(1/r).  Candidates come from an equi-join on
+    (band_idx, xxhash64(band slice)) — doc pairs never meet unless a whole
+    band collides, so the join fans out by bands (x16 rows), not by pairs.
+    Verification = signature agreement fraction (unbiased Jaccard
+    estimate); for byte-certainty chain `ngram_jaccard_pairs` on the
+    output's candidate ids.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must divide into bands evenly")
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, k, seed).alias("__sig"),
+    )
+    banded = sig.select(
+        "id",
+        "__sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("__sig", i * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("__b"),
+    ).select("id", "__sig", F.col("__b.band").alias("band"), F.col("__b.bh").alias("bh"))
+    a = banded.select(
+        "band", "bh", F.col("id").alias("id_a"), F.col("__sig").alias("__sig_a")
+    )
+    b = banded.select(
+        "band", "bh", F.col("id").alias("id_b"), F.col("__sig").alias("__sig_b")
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sig_a", "__sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+_CHUNKS = 4  # 4 x 16-bit chunks => finds all pairs with hamming <= 3
+
+
+def _simhash_votes(text: str | Column, k: int) -> Column:
+    """Per-bit vote sums: array<int>[64].  Each shingle votes +1/-1 per bit
+    of its xxhash64; folded with ``aggregate`` — no explode, no shuffle, no
+    Python.  Shift amounts must be Python ints (shiftright takes no Column
+    numBits), so the bit vector is unrolled at plan-build time."""
+    hashes = F.transform(word_shingles(text, k), lambda s: F.xxhash64(s))
+    zero = F.array_repeat(F.lit(0), SIMHASH_BITS)
+    return F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for i in range(SIMHASH_BITS)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+
+
+def _bit_literal(i: int) -> Column:
+    # 1<<63 does not fit a positive signed long; use its two's complement
+    v = (1 << i) if i < 63 else -(1 << 63)
+    return F.lit(v).cast("long")
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    k: int = 2,
+) -> DataFrame:
+    """Add a 64-bit SimHash fingerprint column (Charikar construction).
+
+    Two stacked projections: (1) materialize the vote array once, (2) fold
+    sign bits into a long.  Splitting keeps the codegen'd plan linear —
+    inlining the aggregate 64x would explode the expression tree.
+    """
+    votes = "__simhash_votes"
+    df = df.withColumn(votes, _simhash_votes(text_col, k))
+    fp = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        fp = fp.bitwiseOR(
+            F.when(F.element_at(F.col(votes), i + 1) > 0, _bit_literal(i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return df.withColumn(out_col, fp).drop(votes)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    k: int = 2,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into 4 x 16-bit
+    chunks; any pair within Hamming<=3 agrees on at least one whole chunk,
+    so an equi-join on (chunk_idx, chunk_value) finds every such pair
+    without pairwise comparison.  Requires max_hamming < _CHUNKS.
+    """
+    if max_hamming >= _CHUNKS:
+        raise ValueError(f"max_hamming must be < {_CHUNKS} for chunk blocking")
+    fp = with_simhash(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        text_col=text_col,
+        out_col="__fp",
+        k=k,
+    ).select("id", "__fp")
+    chunked = fp.select(
+        "id",
+        "__fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("__fp"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(_CHUNKS)
+                ]
+            )
+        ).alias("__c"),
+    ).select("id", "__fp", F.col("__c.chunk").alias("chunk"), F.col("__c.cv").alias("cv"))
+    a = chunked.select("chunk", "cv", F.col("id").alias("id_a"), F.col("__fp").alias("fp_a"))
+    b = chunked.select("chunk", "cv", F.col("id").alias("id_b"), F.col("__fp").alias("fp_b"))
+    return (
+        a.join(b, ["chunk", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

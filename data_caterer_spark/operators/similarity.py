@@ -1,0 +1,271 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: exact brute-force cosine top-k — a single codegen'd projection
+(`zip_with` dot product) plus a top-k sort; no UDF, no Python.  Scale
+path: random-hyperplane LSH bucketing — candidates meet via an equi-join
+on (table, bucket) signatures instead of a cross join; multiprobe widens
+recall by also visiting the buckets one sign-flip away.
+
+At 100 TB the brute-force path is only for *one query vector against the
+table* (a scan + aggregate top-k: embarrassingly parallel, no shuffle of
+the big side).  All-pairs / knn-join work must go through the LSH path —
+the cross join is never materialized.
+
+Embedding cosine **near-duplicate detection** composes from these:
+`lsh_knn_join` with a distance threshold instead of k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# vector kernels (pure Catalyst)
+# --------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL/zero-norm safe (returns NULL)."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
+
+
+def normalize(a: Column) -> Column:
+    """Unit-normalize so cosine becomes a plain dot product downstream."""
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x / n))
+
+
+# --------------------------------------------------------------------------
+# brute-force baselines (exact; oracle-able)
+# --------------------------------------------------------------------------
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    The query is a literal array folded into the projection (broadcast by
+    construction); the plan is scan -> project -> TakeOrderedAndProject —
+    no shuffle of the table, partial top-k per partition then a tiny merge.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+    ).where(F.col("cos_sim").isNotNull())
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def brute_force_knn_join(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact knn join (every left id -> its top-k right neighbors).
+
+    O(n*m) — correctness baseline and oracle for the LSH path; guarded for
+    small inputs only.  Self-join when ``right`` is None (excludes self).
+    """
+    right = right if right is not None else left
+    a = left.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("__va"),
+    )
+    b = right.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("__vb"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim").isNotNull())
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id_a", "id_b", "cos_sim", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# random-hyperplane LSH (scale path)
+# --------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes from a splitmix64 walk —
+    identical on every executor/platform, no RNG object shipped."""
+    planes = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(num_planes):
+        v = []
+        for _ in range(dim):
+            acc = 0.0
+            for _ in range(4):  # sum of 4 uniforms ~ gaussian enough
+                state = (state * 6364136223846793005 + 1442695040888963407) % (
+                    1 << 64
+                )
+                acc += state / float(1 << 64) - 0.5
+            v.append(acc)
+        planes.append(v)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id (long) for one hyperplane bank."""
+    bits = []
+    for i, p in enumerate(planes):
+        pc = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(dot(vec, pc) >= 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    num_tables: int = 8,
+    num_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "buckets",
+) -> DataFrame:
+    """Add ``buckets: array<struct<table:int, bucket:long>>`` — one entry
+    per hash table.  Multiple independent tables trade compute for recall
+    (standard LSH); all JVM-side."""
+    vec = F.col(vec_col).cast("array<double>")
+    entries = []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, num_planes, seed + 1000 * t)
+        entries.append(
+            F.struct(
+                F.lit(t).alias("table"), lsh_bucket(vec, planes).alias("bucket")
+            )
+        )
+    return df.withColumn(out_col, F.array(*entries))
+
+
+def lsh_knn_join(
+    left: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_tables: int = 8,
+    num_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """Approximate self knn-join: candidates = same (table, bucket),
+    scored exactly, top-k per left id (or thresholded when ``min_cosine``
+    is set — that's the embedding near-dup mode).
+
+    Shuffle profile: explode by table (xT rows) -> equi-join on
+    (table, bucket) -> per-bucket pair scoring -> window top-k.  Bucket
+    occupancy ~ n / 2^num_planes per table; tune num_planes so buckets fit
+    a reducer, AQE splits stragglers.
+    """
+    bucketed = with_lsh_buckets(
+        left, dim, num_tables, num_planes, seed, vec_col
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.explode("buckets").alias("__b"),
+    ).select(
+        "id", "__v", F.col("__b.table").alias("table"), F.col("__b.bucket").alias("bucket")
+    )
+    a = bucketed.select(
+        "table", "bucket", F.col("id").alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = bucketed.select(
+        "table", "bucket", F.col("id").alias("id_b"), F.col("__v").alias("__vb")
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim").isNotNull())
+    )
+    # symmetrize so every id gets neighbors from either side of the '<'
+    sym = cand.unionByName(
+        cand.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cos_sim"
+        )
+    )
+    if min_cosine is not None:
+        return sym.where(F.col("cos_sim") >= min_cosine)
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id_a", "id_b", "cos_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 8,
+    num_planes: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t) via
+    LSH candidates + exact rescoring — the embedding leg of the dedup
+    suite (operators/dedup.py documents the other four)."""
+    pairs = lsh_knn_join(
+        df,
+        dim,
+        num_tables=num_tables,
+        num_planes=num_planes,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        min_cosine=min_cosine,
+    )
+    return pairs.where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "cos_sim"
+    )

@@ -1,0 +1,100 @@
+"""Dedup operator tests: exact, n-gram Jaccard, MinHash LSH, SimHash.
+
+Strategy mirrors the reference's exact-output operator tests
+(``DataGeneratorFactoryTest.scala``): tiny planted fixtures with known
+answers, plus recall checks of the probabilistic paths against the exact
+path on the driver-provided documents table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_caterer_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog"),
+            (2, "the  quick BROWN fox jumps over the lazy dog"),  # exact dup (norm)
+            (3, "The quick brown fox jumps over the lazy cat"),  # near dup
+            (4, "Completely different text about spark pipelines"),
+            (5, None),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_duplicate_groups(docs):
+    got = {r["rep_id"]: r["dup_count"] for r in D.exact_duplicate_groups(docs).collect()}
+    assert got == {1: 2}
+
+
+def test_drop_exact_duplicates_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in D.drop_exact_duplicates(docs).collect())
+    # 2 collapses into 1; null (5) and empty (6) are distinct keys by design
+    assert kept == [1, 3, 4, 5, 6]
+
+
+def test_ngram_jaccard_exact_values(docs):
+    rows = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()
+    }
+    # docs 1,2 identical after normalization: jaccard == 1.0
+    assert rows[(1, 2)] == 1.0
+    # docs 1,3 differ in last word: shingle sets share 6 of 7+7 3-shingles
+    # |A|=7 |B|=7 inter=6 => 6/8
+    assert rows[(1, 3)] == pytest.approx(0.75)
+    assert (1, 4) not in rows
+
+
+def test_minhash_recall_against_exact(spark, sf_dir):
+    table = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(table, threshold=0.6).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(table, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-duplicate documents"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall} too low ({exact - approx})"
+
+
+def test_minhash_estimate_tracks_true_jaccard(docs):
+    rows = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_pairs(docs, threshold=0.4).collect()
+    }
+    assert rows[(1, 2)] == 1.0  # identical signatures
+    if (1, 3) in rows:
+        assert abs(rows[(1, 3)] - 0.75) < 0.25  # 64-hash estimator tolerance
+
+
+def test_simhash_identical_and_near(docs, spark):
+    fp = D.with_simhash(docs.where(F.col("text").isNotNull()), k=2)
+    vals = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    assert vals[1] == vals[2]  # normalization-identical => same fingerprint
+    assert D.hamming64(F.lit(vals[1]), F.lit(vals[3])) is not None
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_simhash_pairs_on_fixture(spark, sf_dir):
+    table = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = D.simhash_pairs(table, max_hamming=3).collect()
+    # exact duplicates in the fixture must appear at hamming 0
+    exact = D.ngram_jaccard_pairs(table, threshold=0.999).collect()
+    exact_ids = {(r["id_a"], r["id_b"]) for r in exact}
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert exact_ids <= got

@@ -1,0 +1,74 @@
+"""Document text-analysis tests: token counting, quality, language heuristic."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_caterer_spark.functions import docs as DOC
+
+
+@pytest.fixture(scope="module")
+def table(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_bpe_ish_count_matches_python_re(table):
+    rows = (
+        table.select("doc_id", "text", DOC.bpe_ish_token_count("text").alias("n"))
+        .limit(200)
+        .collect()
+    )
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]")
+    for r in rows:
+        if r["text"] is None:
+            continue
+        assert r["n"] == len(pat.findall(r["text"])), r["text"][:50]
+
+
+def test_quality_score_bounds_and_monotonicity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The weather is nice and the results of the test are good "
+                "because they show that the model works well in practice."),
+            (2, "spam spam spam spam spam spam spam spam spam spam"),
+            (3, "#$%^&*#$%^&*#$%^&*"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["q"]
+        for r in df.select("doc_id", DOC.quality_score("text").alias("q")).collect()
+    }
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert got[1] > got[2] > got[3]
+    assert got[4] == 0.0 and got[5] == 0.0
+
+
+def test_heuristic_language_on_fixture(table):
+    # documents table carries a lang column; the stopword heuristic should
+    # agree on a clear majority of non-trivial docs
+    scored = table.select(
+        "lang", DOC.heuristic_language("text").alias("lang_heur")
+    ).where(F.length("text") > 80)
+    total = scored.count()
+    agree = scored.where(F.col("lang") == F.col("lang_heur")).count()
+    assert total > 0
+    assert agree / total >= 0.7, f"{agree}/{total}"
+
+
+def test_document_features_single_projection(table):
+    out = DOC.document_features(table.limit(10))
+    cols = set(out.columns)
+    for c in [
+        "n_chars_calc", "n_tokens_ws", "n_tokens_bpe", "rep_ratio",
+        "symbol_ratio", "ascii_ratio", "lang_heur", "quality", "fingerprint",
+    ]:
+        assert c in cols
+    # no shuffle in the plan: features are projection-only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

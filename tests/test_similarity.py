@@ -1,0 +1,79 @@
+"""Similarity-search tests: exact brute force vs numpy, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_caterer_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _np_cosine(a, b):
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    if na == 0 or nb == 0:
+        return None
+    return float(a @ b / (na * nb))
+
+
+def test_cosine_topk_matches_numpy(emb):
+    rows = emb.limit(200).collect()
+    q = [float(x) for x in rows[3]["embedding"]]
+    got = S.cosine_topk(emb.limit(200), q, k=5).collect()
+    scored = sorted(
+        ((r["vec_id"], round(_np_cosine(r["embedding"], q), 6)) for r in rows),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == scored
+
+
+def test_brute_force_knn_self_excluded(emb):
+    out = S.brute_force_knn_join(emb.limit(50), k=3).collect()
+    assert all(r["id_a"] != r["id_b"] for r in out)
+    by_a = {}
+    for r in out:
+        by_a.setdefault(r["id_a"], []).append(r)
+    for rs in by_a.values():
+        assert len(rs) == 3
+        assert [r["rank"] for r in sorted(rs, key=lambda x: x["rank"])] == [1, 2, 3]
+
+
+def test_lsh_recall_at_k(emb):
+    dim = len(emb.first()["embedding"])
+    sample = emb.limit(200)
+    exact = S.brute_force_knn_join(sample, k=3).collect()
+    # random embeddings are LSH's worst case (top neighbors are nearly
+    # orthogonal, so per-plane collision p is barely over 1/2): use few
+    # planes and many tables.  For cos~0.35 pairs p=(1-theta/pi)~0.61 =>
+    # per-table 0.61^4~0.14, 16 tables => ~0.91 expected recall.
+    approx = S.lsh_knn_join(sample, dim, k=3, num_tables=16, num_planes=4).collect()
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact}
+    approx_pairs = {(r["id_a"], r["id_b"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, recall
+
+
+def test_lsh_neardup_finds_planted_dups(emb, spark):
+    # plant two exact-duplicate vectors; they hash to identical buckets in
+    # every table, so recall of cos>=0.99 pairs is structural, not luck
+    dim = len(emb.first()["embedding"])
+    base = emb.limit(20)
+    dup = base.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    both = base.unionByName(dup)
+    pairs = S.embedding_neardup_pairs(both, dim, min_cosine=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {(r["vec_id"], r["vec_id"] + 100000) for r in base.collect()}
+    assert want <= got
+
+
+def test_deterministic_across_runs(emb):
+    dim = len(emb.first()["embedding"])
+    a = S.lsh_knn_join(emb.limit(100), dim, k=2).collect()
+    b = S.lsh_knn_join(emb.limit(100), dim, k=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
