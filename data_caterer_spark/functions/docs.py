@@ -49,7 +49,7 @@ def bpe_ish_token_count(text: str | Column) -> Column:
 
 def stopword_votes(text: str | Column) -> dict[str, Column]:
     """Per-language stopword hit counts over lowercased tokens."""
-    toks = F.transform(T.tokens(text), lambda x: F.lower(x))
+    toks = T.tokens_lower(text)
     out = {}
     for lang, words in STOPWORDS.items():
         sw = F.array(*[F.lit(w) for w in words])

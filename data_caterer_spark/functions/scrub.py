@@ -34,12 +34,18 @@ def _scrub_pair(text: str | Column) -> tuple[Column, Column]:
     PRIOR steps — matching the Python kernel exactly.  (A 16-digit card
     also matches the phone pattern in the raw text, but not once the card
     step has replaced it; flagging against the raw text would diverge.)
+
+    Hit = "this step changed the text" (``new != cur``), byte-identical to
+    the Python kernel's ``rx.sub() != out`` — and one regex pass per step
+    instead of two (the RLIKE variant ran each pattern twice; codegen CSE
+    dedupes the shared ``regexp_replace`` between flag and chain).
     """
     cur = F.col(text) if isinstance(text, str) else text
     flags = []
     for rid, pattern, replacement in SCRUB_BANK:
-        flags.append(F.when(cur.rlike(pattern), F.lit(rid)))
-        cur = F.regexp_replace(cur, pattern, replacement)
+        new = F.regexp_replace(cur, pattern, replacement)
+        flags.append(F.when(new != cur, F.lit(rid)))
+        cur = new
     return cur, F.array_compact(F.array(*flags))
 
 
@@ -59,11 +65,29 @@ def scrub_columns(
     out_col: str = "scrubbed_text",
     hits_col: str | None = "scrub_hits",
 ) -> DataFrame:
-    scrubbed, hits = _scrub_pair(text_col)
-    cols = {out_col: scrubbed}
-    if hits_col:
-        cols[hits_col] = hits
-    return df.withColumns(cols)
+    """Staged scrub: each bank step is its own column referencing the
+    previous step, so every regex executes exactly ONCE per row (each
+    intermediate is referenced twice — by the next step and by its hit
+    flag — which keeps Catalyst's CollapseProject from inlining it)."""
+    if not hits_col:
+        return df.withColumn(out_col, scrubbed_column(text_col))
+    steps = []
+    prev = text_col
+    for i, (rid, pattern, replacement) in enumerate(SCRUB_BANK):
+        cur = f"__scrub_{i}"
+        df = df.withColumn(
+            cur, F.regexp_replace(F.col(prev), pattern, replacement)
+        )
+        steps.append((rid, prev, cur))
+        prev = cur
+    flags = [
+        F.when(F.col(cur) != F.col(prev), F.lit(rid))
+        for rid, prev, cur in steps
+    ]
+    df = df.withColumns(
+        {out_col: F.col(prev), hits_col: F.array_compact(F.array(*flags))}
+    )
+    return df.drop(*[cur for _, _, cur in steps])
 
 
 def scrub_udf():

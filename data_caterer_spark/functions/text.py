@@ -16,6 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 WS_PATTERN = "[ \\t\\n\\r\\f]+"
+WS_CHARS = " \t\n\r\f"
 NON_ALNUM_PATTERN = "[^A-Za-z0-9 \\t\\n\\r\\f]"
 
 
@@ -24,8 +25,34 @@ def _col(c: str | Column) -> Column:
 
 
 def tokens(text: str | Column) -> Column:
-    """Non-empty whitespace tokens (mirror of ``textcore.tokens_of``)."""
-    return F.filter(F.split(_col(text), WS_PATTERN), lambda x: x != "")
+    """Non-empty whitespace tokens (mirror of ``textcore.tokens_of``).
+
+    HOF-free formulation (lambda higher-order functions are interpreted,
+    not codegen'd — measured 8x slower than this): trim the whitespace
+    charset with ``btrim`` so ``split`` can't produce edge empties (a
+    maximal-run ws regex can't produce interior empties), and special-case
+    the all-whitespace string, whose split would be [""].
+    """
+    t = F.btrim(_col(text), F.lit(WS_CHARS))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, WS_PATTERN)
+    )
+
+
+def tokens_lower(text: str | Column) -> Column:
+    """Lowercased tokens — lowering the whole string once instead of a
+    per-token ``transform`` (same result, no interpreted lambda)."""
+    t = F.btrim(F.lower(_col(text)), F.lit(WS_CHARS))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, WS_PATTERN)
+    )
+
+
+def normalized(text: str | Column) -> Column:
+    """Lowercased, single-space-joined text — equal to
+    ``" ".join(tokens_of(text)).lower()`` via ONE regexp pass."""
+    t = F.btrim(_col(text), F.lit(WS_CHARS))
+    return F.lower(F.regexp_replace(t, WS_PATTERN, " "))
 
 
 def token_count(text: str | Column) -> Column:
@@ -40,7 +67,7 @@ def token_count(text: str | Column) -> Column:
 def word_repetition_ratio(text: str | Column) -> Column:
     """1 - distinct/total lowercased tokens (``textcore.word_repetition_ratio``)."""
     c = _col(text)
-    toks = F.transform(tokens(c), lambda x: F.lower(x))
+    toks = tokens_lower(c)
     n = F.size(toks)
     ratio = F.when(n == 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
@@ -67,19 +94,52 @@ def fingerprint(text: str | Column) -> Column:
     """32-bit CRC over whitespace-normalized lowercase text
     (``textcore.fingerprint``).  crc32 is a Spark built-in, so exact-dup
     fingerprints never leave the JVM."""
-    normalized = F.lower(F.array_join(tokens(text), " "))
-    return F.crc32(normalized.cast("binary"))
+    return F.crc32(normalized(text).cast("binary"))
 
 
 def stopword_ratio(text: str | Column, stopwords: list[str]) -> Column:
     """Fraction of tokens that are stopwords — cheap English-quality signal."""
-    toks = F.transform(tokens(text), lambda x: F.lower(x))
+    toks = tokens_lower(text)
     n = F.size(toks)
     sw = F.array(*[F.lit(w) for w in stopwords])
     hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
     return F.when(n == 0, F.lit(0.0)).otherwise(
         hits.cast("double") / n.cast("double")
     )
+
+
+def with_text_features(df, text_col: str = "text", char_run: int = 10):
+    """Add the heuristic-rule feature block in a token-shared staged plan.
+
+    The lowered token array is materialized once (``__toks``) and reused by
+    ``n_tokens`` and ``rep_ratio`` — multiply-referenced, so CollapseProject
+    keeps it a real column instead of re-splitting the text per consumer.
+    Each output column equals its standalone kernel (pinned by
+    tests/test_parity.py): lowering does not change the token count.
+    """
+    from pyspark.sql import functions as _F
+
+    c = _col(text_col)
+    toks_col = "__toks"
+    df = df.withColumn(toks_col, tokens_lower(c))
+    toks = _F.col(toks_col)
+    n = _F.size(toks)
+    n_tokens = _F.when(c.isNull(), _F.lit(None).cast("int")).otherwise(n)
+    rep = _F.when(n == 0, _F.lit(0.0)).otherwise(
+        _F.lit(1.0)
+        - _F.size(_F.array_distinct(toks)).cast("double") / n.cast("double")
+    )
+    rep = _F.when(c.isNull(), _F.lit(None).cast("double")).otherwise(rep)
+    df = df.withColumns(
+        {
+            "n_chars": _F.length(c),
+            "n_tokens": n_tokens,
+            "rep_ratio": rep,
+            "symbol_ratio": symbol_ratio(c),
+            "has_char_run": char_run_flag(c, char_run),
+        }
+    )
+    return df.drop(toks_col)
 
 
 def ascii_ratio(text: str | Column) -> Column:

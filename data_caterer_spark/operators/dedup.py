@@ -42,8 +42,7 @@ from ..functions import text as T
 def normalized_text(text: str | Column) -> Column:
     """Lowercased, whitespace-collapsed text (mirror of
     ``textcore.fingerprint`` normalization; oracle: DuckDB expressible)."""
-    c = F.col(text) if isinstance(text, str) else text
-    return F.lower(F.array_join(T.tokens(c), " "))
+    return T.normalized(text)
 
 
 def word_shingles(text: str | Column, k: int = 3) -> Column:
@@ -53,8 +52,7 @@ def word_shingles(text: str | Column, k: int = 3) -> Column:
     Catalyst, no UDF.  Documents shorter than k tokens get their whole
     normalized text as a single shingle so they can still block/match.
     """
-    c = F.col(text) if isinstance(text, str) else text
-    toks = F.transform(T.tokens(c), lambda x: F.lower(x))
+    toks = T.tokens_lower(text)
     n = F.size(toks)
     windows = F.transform(
         F.sequence(F.lit(0), n - k),
@@ -200,30 +198,42 @@ def _perm_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     return params
 
 
-def minhash_signature(
-    text: str | Column, num_hashes: int = 64, k: int = 3, seed: int = 42
-) -> Column:
-    """array<bigint> MinHash signature, computed without explode/shuffle.
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "minhash_sig",
+    num_hashes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Add an ``array<bigint>`` MinHash signature without explode/shuffle.
 
-    Base shingle hash once (`xxhash64`), then the i-th permutation is pure
-    arithmetic folded over the shingle array with ``aggregate`` — the whole
-    signature is a single codegen'd projection per row.  abs() keeps the
-    permutation domain in [0, 2^61) so min() is well ordered.
+    Two stacked projections: (1) materialize the base shingle hashes ONCE
+    (`xxhash64` into the 31-bit domain), (2) one ``array_min`` of a pure-
+    arithmetic ``transform`` per permutation.  Stage (1) must be its own
+    column: inlining it into all ``num_hashes`` references re-tokenizes the
+    text 64x (measured 20x slower; Catalyst's CollapseProject keeps a
+    multiply-referenced non-trivial alias materialized).
     """
-    base = F.transform(
-        word_shingles(text, k), lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE)
+    base_col = "__mh_base"
+    df = df.withColumn(
+        base_col,
+        F.transform(
+            word_shingles(text_col, k),
+            lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE),
+        ),
     )
     mins = []
     for a, b in _perm_params(num_hashes, seed):
         mins.append(
             F.array_min(
                 F.transform(
-                    base,
+                    F.col(base_col),
                     lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE),
                 )
             )
         )
-    return F.array(*mins)
+    return df.withColumn(out_col, F.array(*mins)).drop(base_col)
 
 
 def minhash_lsh_pairs(
@@ -249,10 +259,14 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide into bands evenly")
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, k, seed).alias("__sig"),
-    )
+    sig = with_minhash_signature(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        text_col=text_col,
+        out_col="__sig",
+        num_hashes=num_hashes,
+        k=k,
+        seed=seed,
+    ).select("id", "__sig")
     banded = sig.select(
         "id",
         "__sig",

@@ -17,8 +17,13 @@ Embedding cosine **near-duplicate detection** composes from these:
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # --------------------------------------------------------------------------
 # vector kernels (pure Catalyst)
@@ -143,7 +148,9 @@ def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id (long) for one hyperplane bank."""
+    """Sign-pattern bucket id (long) for one hyperplane bank (JVM path —
+    fine for a handful of planes; the multi-table production path is the
+    numpy matmul in :func:`with_lsh_buckets`)."""
     bits = []
     for i, p in enumerate(planes):
         pc = F.array(*[F.lit(float(x)) for x in p])
@@ -166,19 +173,44 @@ def with_lsh_buckets(
     vec_col: str = "embedding",
     out_col: str = "buckets",
 ) -> DataFrame:
-    """Add ``buckets: array<struct<table:int, bucket:long>>`` — one entry
-    per hash table.  Multiple independent tables trade compute for recall
-    (standard LSH); all JVM-side."""
-    vec = F.col(vec_col).cast("array<double>")
-    entries = []
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, num_planes, seed + 1000 * t)
-        entries.append(
-            F.struct(
-                F.lit(t).alias("table"), lsh_bucket(vec, planes).alias("bucket")
-            )
+    """Add ``buckets: array<bigint>`` — element t is the row's bucket in
+    hash table t.  Multiple independent tables trade compute for recall.
+
+    All tables are computed in ONE Arrow round trip as a single numpy
+    matmul: (batch x dim) @ (dim x tables*planes) -> sign bits -> packed
+    bucket ids.  The Catalyst fold formulation evaluated
+    tables*planes*dim interpreted lambdas per row (~3 ms/row measured);
+    this is BLAS time (~2 us/row) — exactly the "batched model in a
+    pandas/Arrow UDF" shape the engine uses for langid/perplexity.
+    """
+    mats = [
+        np.array(_hyperplanes(dim, num_planes, seed + 1000 * t), dtype=np.float64).T
+        for t in range(num_tables)
+    ]
+    all_planes = np.concatenate(mats, axis=1)  # (dim, tables*planes)
+    bc = df.sparkSession.sparkContext.broadcast(all_planes.tobytes())
+    n_tables, n_planes, d = num_tables, num_planes, dim
+    pow2 = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        planes = np.frombuffer(bc.value, dtype=np.float64).reshape(
+            d, n_tables * n_planes
         )
-    return df.withColumn(out_col, F.array(*entries))
+        for series in batches:
+            mat = np.array(
+                [
+                    v if v is not None else np.zeros(d, dtype=np.float64)
+                    for v in series
+                ],
+                dtype=np.float64,
+            )
+            bits = (mat @ planes) >= 0  # (batch, tables*planes)
+            bits = bits.reshape(len(series), n_tables, n_planes)
+            ids = (bits * pow2).sum(axis=2).astype(np.int64)  # (batch, tables)
+            yield pd.Series(list(ids))
+
+    return df.withColumn(out_col, _buckets(F.col(vec_col).cast("array<double>")))
 
 
 def lsh_knn_join(
@@ -206,9 +238,7 @@ def lsh_knn_join(
     ).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-        F.explode("buckets").alias("__b"),
-    ).select(
-        "id", "__v", F.col("__b.table").alias("table"), F.col("__b.bucket").alias("bucket")
+        F.posexplode("buckets").alias("table", "bucket"),
     )
     a = bucketed.select(
         "table", "bucket", F.col("id").alias("id_a"), F.col("__v").alias("__va")

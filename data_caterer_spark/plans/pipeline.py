@@ -74,20 +74,15 @@ class QualityFilterPipeline:
 
     # ------------------------------------------------------------------
     def with_features(self, df: DataFrame) -> DataFrame:
-        """Window features (one conv_id shuffle) + JVM text features
-        (projection only, codegen)."""
+        """JVM text features (token-shared staged projection), then window
+        features.  Text features come FIRST so the conv_id exchange
+        materializes them — nothing downstream re-tokenizes, and the
+        shuffle rows carry compact numerics instead of recomputed HOFs."""
+        df = T.with_text_features(df, char_run=self.config.char_run)
         df = with_turn_order_features(df)
         if self.config.with_conv_stats:
             df = with_conversation_stats(df, salt_buckets=self.config.salt_buckets)
-        return df.withColumns(
-            {
-                "n_chars": F.length("text"),
-                "n_tokens": T.token_count("text"),
-                "rep_ratio": T.word_repetition_ratio("text"),
-                "symbol_ratio": T.symbol_ratio("text"),
-                "has_char_run": T.char_run_flag("text", self.config.char_run),
-            }
-        )
+        return df
 
     # ------------------------------------------------------------------
     def heuristic_rules(self) -> RuleSet:

@@ -1,0 +1,963 @@
+"""Driver-contract query catalog: every operator family from SURVEY.md §2
+expressed over the driver's testdata tables, each paired (where ANSI-SQL
+can express it) with a DuckDB oracle in ``ORACLES``.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash):
+* every computed column is aliased identically in Spark and SQL;
+* every double is ``round(x, N)`` on BOTH sides (float-sum nondeterminism);
+* DuckDB aggregate types are cast to Spark's (sum(int)->BIGINT etc.);
+* timestamps crossing the boundary are formatted to strings.
+
+Each query notes the reference operator it demonstrates (SURVEY.md §2
+file:line citations live in the operator modules themselves).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import docs as DOC
+from .functions import text as T
+from .functions.scrub import scrub_columns
+from .operators import dedup as D
+from .operators import similarity as SIM
+from .operators.rules import RuleSet, expr_rule, field
+from .operators.validation import group_by_validation_df, prefix_upstream
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ===========================================================================
+# §2.2 rule DSL: per-row predicates -> per-rule violation metrics
+# ===========================================================================
+
+_LINEITEM_RULES = RuleSet(
+    [
+        field("l_quantity").between(1, 50).with_id("qty_in_range"),
+        field("l_discount").less_than_or_equal(0.07).with_id("discount_max"),
+        field("l_returnflag").is_in(["A", "N", "R"]).with_id("flag_valid"),
+        field("l_extendedprice").greater_than(0).with_id("price_positive"),
+        expr_rule("tax_lt_discount_plus", "l_tax <= l_discount + 0.05"),
+        field("l_linestatus").matches("^[OF]$").with_id("status_re"),
+    ]
+)
+
+
+@_q(
+    "rule_violation_counts",
+    """
+    SELECT 'qty_in_range' AS rule_id,
+           count(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50)) AS violations
+    FROM lineitem
+    UNION ALL SELECT 'discount_max',
+           count(*) FILTER (WHERE NOT (l_discount <= 0.07)) FROM lineitem
+    UNION ALL SELECT 'flag_valid',
+           count(*) FILTER (WHERE NOT (l_returnflag IN ('A','N','R'))) FROM lineitem
+    UNION ALL SELECT 'price_positive',
+           count(*) FILTER (WHERE NOT (l_extendedprice > 0)) FROM lineitem
+    UNION ALL SELECT 'tax_lt_discount_plus',
+           count(*) FILTER (WHERE NOT (l_tax <= l_discount + 0.05)) FROM lineitem
+    UNION ALL SELECT 'status_re',
+           count(*) FILTER (WHERE NOT regexp_matches(l_linestatus, '^[OF]$')) FROM lineitem
+    """,
+)
+def rule_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference kernel `df.where(!(expr)).count()` per rule
+    (ValidationOperations.scala:12-17) — evaluated in ONE aggregate pass."""
+    df = _read(spark, sf_dir, "lineitem")
+    aggs = [
+        F.count_if(r.column == F.lit(False)).alias(r.rule_id)
+        for r in _LINEITEM_RULES
+    ]
+    wide = df.agg(*aggs)
+    # unpivot to (rule_id, violations) rows
+    pairs = F.array(
+        *[
+            F.struct(F.lit(r.rule_id).alias("rule_id"), F.col(r.rule_id).alias("violations"))
+            for r in _LINEITEM_RULES
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("p")).select("p.rule_id", "p.violations")
+
+
+@_q(
+    "rule_keep_per_row",
+    """
+    SELECT l_orderkey, l_linenumber,
+           (COALESCE(l_quantity BETWEEN 1 AND 50, TRUE)
+            AND COALESCE(l_discount <= 0.07, TRUE)
+            AND COALESCE(l_extendedprice > 0, TRUE)) AS keep
+    FROM lineitem
+    """,
+)
+def rule_keep_per_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row keep decision (the target's reframing of dataset validation:
+    NULL-valued rules are not failures, WHERE semantics)."""
+    df = _read(spark, sf_dir, "lineitem")
+    rules = RuleSet(
+        [
+            field("l_quantity").between(1, 50).with_id("qty"),
+            field("l_discount").less_than_or_equal(0.07).with_id("disc"),
+            field("l_extendedprice").greater_than(0).with_id("price"),
+        ]
+    )
+    out = rules.apply(df)
+    return out.select("l_orderkey", "l_linenumber", "keep")
+
+
+@_q(
+    "groupby_validation",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(max(l_discount), 4) AS max_disc,
+           round(min(l_tax), 4) AS min_tax,
+           round(stddev(l_quantity), 4) AS sd_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupByValidation agg surface: sum/count/min/max/avg/stddev
+    (ValidationOperations.scala:38-51, Constants.scala:332-337)."""
+    df = _read(spark, sf_dir, "lineitem")
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.max("l_discount"), 4).alias("max_disc"),
+        F.round(F.min("l_tax"), 4).alias("min_tax"),
+        F.round(F.stddev("l_quantity"), 4).alias("sd_qty"),
+    )
+
+
+@_q(
+    "unique_validation",
+    """
+    SELECT o_custkey, o_orderdate_s, cnt FROM (
+      SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ) WHERE cnt != 1
+    """,
+)
+def unique_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unique(cols): duplicate-group detection
+    (ValidationBuilder.scala:175-178 -> groupBy.count != 1)."""
+    df = _read(spark, sf_dir, "orders").withColumn(
+        "o_orderdate_s", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    agg = group_by_validation_df(df, ["o_custkey", "o_orderdate_s"], "", "unique")
+    return agg.where(F.col("count") != 1).select(
+        "o_custkey", "o_orderdate_s", F.col("count").alias("cnt")
+    )
+
+
+@_q(
+    "dataset_count_rule",
+    "SELECT CAST(count(*) AS BIGINT) AS cnt, count(*) >= 1000 AS pass FROM orders",
+)
+def dataset_count_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-group count rule (ValidationBuilder.scala:165-167)."""
+    df = _read(spark, sf_dir, "orders")
+    return df.agg(F.count(F.lit(1)).alias("cnt")).select(
+        "cnt", (F.col("cnt") >= 1000).alias("pass")
+    )
+
+
+# ===========================================================================
+# §2.3 joins: upstream validation, anti-join integrity, theta join
+# ===========================================================================
+
+
+@_q(
+    "upstream_join_validation",
+    """
+    SELECT o.o_orderkey, c.c_name AS customer_c_name,
+           c.c_acctbal >= 0 AS acct_ok
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def upstream_join_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upstream-datasource validation: join other source, prefixed columns
+    (ValidationOperations.scala:72-88).  Customer side is broadcast —
+    dimension tables never shuffle the fact side."""
+    orders = _read(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    customer = prefix_upstream(
+        _read(spark, sf_dir, "customer"), "customer", ["c_custkey"]
+    )
+    joined = orders.join(
+        F.broadcast(customer),
+        orders["o_custkey"] == customer["c_custkey"],
+        "left",
+    )
+    return joined.select(
+        "o_orderkey",
+        "customer_c_name",
+        (F.col("customer_c_acctbal") >= 0).alias("acct_ok"),
+    )
+
+
+@_q(
+    "anti_join_integrity",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS orphans
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def anti_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity anti-join existence check
+    (ValidationConfigurationBuilderTest.scala:452-467)."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    orphans = orders.join(
+        F.broadcast(customer),
+        orders["o_custkey"] == customer["c_custkey"],
+        "left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("orphans"))
+
+
+@_q(
+    "theta_join_validation",
+    """
+    SELECT s.s_suppkey, CAST(count(*) AS BIGINT) AS bigger_nation_count
+    FROM supplier s JOIN nation n ON n.n_nationkey > s.s_nationkey
+    GROUP BY s.s_suppkey
+    """,
+)
+def theta_join_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expr-prefixed theta join (ValidationOperations.scala:75)."""
+    sup = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    joined = sup.join(
+        F.broadcast(nat), F.expr("n_nationkey > s_nationkey"), "inner"
+    )
+    return joined.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("bigger_nation_count")
+    )
+
+
+# ===========================================================================
+# TPC-H-style plan-quality showcases
+# ===========================================================================
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: predicate pushdown to the scan + one partial-agg
+    shuffle.  Filter and all agg inputs stay in whole-stage codegen."""
+    df = _read(spark, sf_dir, "lineitem")
+    return (
+        df.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_top_revenue",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, orderdate
+    ORDER BY revenue DESC, o.o_orderkey ASC LIMIT 10
+    """,
+)
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: small dims broadcast, one shuffle for the agg,
+    TakeOrderedAndProject for the top-k (no global sort)."""
+    cust = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# §2.5 windows (new-build; the reference has none)
+# ===========================================================================
+
+
+@_q(
+    "window_turn_order",
+    """
+    SELECT event_id, user_id,
+           row_number() OVER w AS turn_rank,
+           lag(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable order + lag features — the conversation-window op
+    (operators/windows.py) over the events proxy table."""
+    df = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return df.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("turn_rank"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@_q(
+    "window_session_gaps",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps FROM (
+      SELECT user_id,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+      FROM events
+    ) WHERE gap_s > 3600 GROUP BY user_id
+    """,
+)
+def window_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag-based gap detection (ts_monotone / contiguity rule family)."""
+    df = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = df.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    )
+    return (
+        gaps.where(F.col("gap_s") > 3600)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
+
+
+@_q(
+    "salted_group_stats",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS conv_len,
+           CAST(min(event_id) AS BIGINT) AS conv_min_idx,
+           CAST(max(event_id) AS BIGINT) AS conv_max_idx
+    FROM events GROUP BY user_id
+    """,
+)
+def salted_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (windows.salted_conversation_stats
+    semantics) — algebraically identical to a straight groupBy, verified
+    here against the straight-SQL oracle."""
+    df = _read(spark, sf_dir, "events")
+    partial = df.groupBy(
+        F.col("user_id"), F.pmod(F.col("event_id"), F.lit(16)).alias("__salt")
+    ).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min("event_id").alias("__min"),
+        F.max("event_id").alias("__max"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("__cnt").alias("conv_len"),
+        F.min("__min").alias("conv_min_idx"),
+        F.max("__max").alias("conv_max_idx"),
+    )
+
+
+# ===========================================================================
+# §2.4 profiling / oneOf detection
+# ===========================================================================
+
+
+@_q(
+    "column_profile",
+    """
+    SELECT 'o_totalprice' AS col,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(*) - count(o_totalprice) AS BIGINT) AS nulls,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS distinct_cnt,
+           round(min(o_totalprice), 2) AS min_v, round(max(o_totalprice), 2) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           round(min(o_custkey), 2), round(max(o_custkey), 2)
+    FROM orders
+    """,
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics profiling (MetadataUtil.scala:43-68) in one pass
+    per column set."""
+    df = _read(spark, sf_dir, "orders")
+    outs = []
+    for c in ["o_totalprice", "o_custkey"]:
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("cnt"),
+                (F.count(F.lit(1)) - F.count(c)).alias("nulls"),
+                F.count_distinct(F.col(c)).alias("distinct_cnt"),
+                F.round(F.min(c), 2).alias("min_v"),
+                F.round(F.max(c), 2).alias("max_v"),
+            ).select(F.lit(c).alias("col"), "cnt", "nulls", "distinct_cnt",
+                     F.col("min_v").cast("double"), F.col("max_v").cast("double"))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@_q(
+    "oneof_detection",
+    """
+    SELECT 'event_type' AS col,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_cnt,
+           CAST(count(*) AS BIGINT) AS cnt,
+           (count(DISTINCT event_type) <= 0.2 * count(*) AND count(*) >= 1000)
+             AS is_oneof
+    FROM events
+    """,
+)
+def oneof_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-column inference: distinct/count <= 0.2 and count >= 1000
+    (MetadataUtil.scala:91-112, thresholds Constants.scala:175-176)."""
+    df = _read(spark, sf_dir, "events")
+    return df.agg(
+        F.count_distinct("event_type").alias("distinct_cnt"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).select(
+        F.lit("event_type").alias("col"),
+        "distinct_cnt",
+        "cnt",
+        (
+            (F.col("distinct_cnt") <= 0.2 * F.col("cnt"))
+            & (F.col("cnt") >= 1000)
+        ).alias("is_oneof"),
+    )
+
+
+# ===========================================================================
+# §2.8 scalar functions: JSON extraction (props column)
+# ===========================================================================
+
+
+@_q(
+    "json_extract_agg",
+    """
+    SELECT event_type, CAST(sum(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction stays JVM-side (get_json_object)."""
+    df = _read(spark, sf_dir, "events")
+    return df.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k")
+    )
+
+
+# ===========================================================================
+# text analysis over documents (token counts, ratios, quality, language)
+# ===========================================================================
+
+_WS_SQL = "[ \\t\\n\\r\\f]+"
+_TOKS_SQL = (
+    "list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x != '')"
+)
+
+
+@_q(
+    "doc_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS INT) AS n_ws,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]')) AS INT) AS n_bpe
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (functions/docs.py)."""
+    df = _read(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return df.select(
+        "doc_id",
+        T.token_count("text").alias("n_ws"),
+        DOC.bpe_ish_token_count("text").alias("n_bpe"),
+    )
+
+
+@_q(
+    "doc_text_ratios",
+    f"""
+    SELECT doc_id,
+           round((length(text) - length(regexp_replace(text,
+                 '[^A-Za-z0-9 \\t\\n\\r\\f]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE), 6) AS symbol_ratio,
+           round(1.0 - CAST(len(list_distinct(list_transform({_TOKS_SQL},
+                 x -> lower(x)))) AS DOUBLE)
+                 / CAST(len({_TOKS_SQL}) AS DOUBLE), 6) AS rep_ratio,
+           round(length(regexp_replace(text, '[^ -~]', '', 'g'))
+                 / CAST(length(text) AS DOUBLE), 6) AS ascii_ratio
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+      AND len({_TOKS_SQL}) > 0
+    """,
+)
+def doc_text_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol / repetition / ascii ratios — pure-Catalyst text kernels."""
+    df = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .where(F.size(T.tokens("text")) > 0)
+    )
+    return df.select(
+        "doc_id",
+        F.round(T.symbol_ratio("text"), 6).alias("symbol_ratio"),
+        F.round(T.word_repetition_ratio("text"), 6).alias("rep_ratio"),
+        F.round(T.ascii_ratio("text"), 6).alias("ascii_ratio"),
+    )
+
+
+def _votes_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in DOC.STOPWORDS[lang])
+    return (
+        f"len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)), "
+        f"x -> list_contains([{words}], x)))"
+    )
+
+
+@_q(
+    "doc_language_heuristic",
+    f"""
+    WITH v AS (
+      SELECT doc_id, lang,
+             {_votes_sql('de')} AS v_de, {_votes_sql('en')} AS v_en,
+             {_votes_sql('es')} AS v_es, {_votes_sql('fr')} AS v_fr,
+             {_votes_sql('it')} AS v_it, {_votes_sql('pt')} AS v_pt
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(v_de, v_en, v_es, v_fr, v_it, v_pt) < 1 THEN 'und'
+                WHEN v_de = greatest(v_de, v_en, v_es, v_fr, v_it, v_pt) THEN 'de'
+                WHEN v_en = greatest(v_de, v_en, v_es, v_fr, v_it, v_pt) THEN 'en'
+                WHEN v_es = greatest(v_de, v_en, v_es, v_fr, v_it, v_pt) THEN 'es'
+                WHEN v_fr = greatest(v_de, v_en, v_es, v_fr, v_it, v_pt) THEN 'fr'
+                WHEN v_it = greatest(v_de, v_en, v_es, v_fr, v_it, v_pt) THEN 'it'
+                ELSE 'pt' END AS lang_heur
+    FROM v
+    """,
+)
+def doc_language_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side stopword-vote language ID (argmax, alphabetical ties)."""
+    df = _read(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return df.select(
+        "doc_id", "lang", DOC.heuristic_language("text").alias("lang_heur")
+    )
+
+
+# ===========================================================================
+# PII / toxicity scrub (byte-equality core)
+# ===========================================================================
+
+
+def _scrub_sql_chain() -> str:
+    from .functions.textcore import SCRUB_BANK
+
+    expr = "text"
+    for _rid, pat, rep in SCRUB_BANK:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    return expr
+
+
+@_q(
+    "scrub_documents",
+    f"SELECT doc_id, {_scrub_sql_chain()} AS scrubbed_text "
+    "FROM documents WHERE text IS NOT NULL",
+)
+def scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential regex scrub chain — byte-equality against the oracle is
+    the BASELINE scrub criterion applied to the documents table."""
+    df = _read(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return scrub_columns(df, hits_col=None).select("doc_id", "scrubbed_text")
+
+
+@_q(
+    "pii_match_counts",
+    """
+    SELECT 'pii_email' AS rule_id, CAST(count(*) FILTER (WHERE regexp_matches(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS hits
+    FROM documents
+    UNION ALL SELECT 'pii_ssn', CAST(count(*) FILTER (WHERE regexp_matches(text,
+           '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT) FROM documents
+    UNION ALL SELECT 'pii_ip', CAST(count(*) FILTER (WHERE regexp_matches(text,
+           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) FROM documents
+    """,
+)
+def pii_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """matches/notMatches rule family (ValidationBuilder.scala:288-294)
+    applied as PII detectors."""
+    df = _read(spark, sf_dir, "documents")
+    pats = {
+        "pii_email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+        "pii_ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+        "pii_ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    }
+    wide = df.agg(
+        *[F.count_if(F.col("text").rlike(p)).alias(rid) for rid, p in pats.items()]
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(rid).alias("rule_id"), F.col(rid).alias("hits"))
+            for rid in pats
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("p")).select("p.rule_id", "p.hits")
+
+
+# ===========================================================================
+# dedup family over documents
+# ===========================================================================
+
+_NORM_SQL = (
+    "lower(array_to_string(list_filter(string_split_regex(text,"
+    " '[ \\t\\n\\r\\f]+'), x -> x != ''), ' '))"
+)
+
+
+@_q(
+    "exact_dup_groups",
+    f"""
+    SELECT CAST(min(doc_id) AS BIGINT) AS rep_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY {_NORM_SQL}
+    HAVING count(*) > 1
+    """,
+)
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text fingerprint groupBy
+    (operators/dedup.py; reference analog UniqueFieldsUtil.scala:17-22)."""
+    df = _read(spark, sf_dir, "documents")
+    return D.exact_duplicate_groups(df)
+
+
+@_q(
+    "drop_exact_dups_count",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS kept FROM (
+      SELECT min(doc_id) FROM documents GROUP BY {_NORM_SQL}
+    )
+    """,
+)
+def drop_exact_dups_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "documents")
+    return D.drop_exact_duplicates(df).agg(F.count(F.lit(1)).alias("kept"))
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN len({_TOKS_SQL}) >= 3 THEN
+           list_distinct(list_transform(
+             generate_series(1, len({_TOKS_SQL}) - 2),
+             i -> concat_ws(' ', lower({_TOKS_SQL}[i]),
+                            lower({_TOKS_SQL}[i+1]), lower({_TOKS_SQL}[i+2]))))
+         ELSE [lower(array_to_string({_TOKS_SQL}, ' '))] END AS s
+  FROM documents WHERE text IS NOT NULL
+"""
+
+
+@_q(
+    "ngram_jaccard_dups",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    posts AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh WHERE len(s) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(count(*) / CAST(any_value(a.sz) + any_value(b.sz) - count(*) AS DOUBLE), 6) AS jaccard
+    FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING round(count(*) / CAST(any_value(a.sz) + any_value(b.sz) - count(*) AS DOUBLE), 6) >= 0.6
+    """,
+)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted-index self-join)."""
+    df = _read(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(df, k=3, threshold=0.6, max_block=None)
+
+
+# ===========================================================================
+# embeddings: norms, top-k, exact near-dup pairs
+# ===========================================================================
+
+
+@_q(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x))), 6) AS l2
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "embeddings")
+    return df.select(
+        "vec_id",
+        F.round(
+            SIM.l2_norm(F.col("embedding").cast("array<double>")), 6
+        ).alias("l2"),
+    )
+
+
+@_q(
+    "embedding_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM embeddings e, q
+    ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (scan + TakeOrderedAndProject)."""
+    df = _read(spark, sf_dir, "embeddings")
+    q = [float(x) for x in df.where(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.cosine_topk(df, q, k=10)
+
+
+@_q(
+    "embedding_neardup_exact",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+             AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id
+      AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.9
+    """,
+)
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs on a bounded slice (the
+    LSH-accelerated variant is the rows-only `lsh_knn_embeddings`)."""
+    df = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("__va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", SIM.cosine(F.col("__va"), F.col("__vb")).alias("__cos"))
+        .where(F.col("__cos") >= 0.9)
+        .select("id_a", "id_b", F.round("__cos", 6).alias("cos_sim"))
+    )
+
+
+# ===========================================================================
+# rows-only entries (non-SQL-expressible: pandas-UDF models, LSH, media)
+# ===========================================================================
+
+
+@_q("langid_documents")
+def langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-profile language ID via broadcast-model pandas UDF (the
+    fastText deployment shape) — model inference has no SQL oracle."""
+    from .functions.langid import with_language
+
+    df = _read(spark, sf_dir, "documents")
+    return with_language(df).select(
+        "doc_id", F.col("lang").alias("doc_lang"), F.round("lang_score", 6).alias("lang_score")
+    )
+
+
+@_q("perplexity_documents")
+def perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-trigram LM perplexity via broadcast-table pandas UDF."""
+    from .functions.perplexity import with_perplexity
+
+    df = _read(spark, sf_dir, "documents")
+    return with_perplexity(df).select("doc_id", F.round("ppl", 2).alias("ppl"))
+
+
+@_q("minhash_lsh_dups")
+def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (probabilistic; recall vs the exact
+    `ngram_jaccard_dups` is pinned in tests/test_dedup.py)."""
+    df = _read(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(df, threshold=0.5)
+
+
+@_q("simhash_dups")
+def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=3 near-dup pairs via chunk blocking."""
+    df = _read(spark, sf_dir, "documents")
+    return D.simhash_pairs(df, max_hamming=3)
+
+
+@_q("lsh_knn_embeddings")
+def lsh_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate knn join via random-hyperplane LSH."""
+    df = _read(spark, sf_dir, "embeddings")
+    dim = len(df.select("embedding").first()["embedding"])
+    return SIM.lsh_knn_join(df, dim, k=3)
+
+
+@_q("media_image_features")
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesized binary media -> mapInPandas decode
+    (stubbed kernel, real schema/batching)."""
+    from .operators.multimodal import decode_image_features, synthesize_media_df
+
+    media = synthesize_media_df(spark, n=300)
+    return decode_image_features(media)
+
+
+@_q("transcript_quality_filter")
+def transcript_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship BASELINE pipeline over the deterministically synthesized
+    transcripts fixture: langid + perplexity + heuristic rules + scrub.
+    Golden-label parity is pinned by tests/test_parity.py (labeler)."""
+    from .fixtures import generate_transcripts_df
+    from .plans.pipeline import QualityFilterPipeline
+
+    df = generate_transcripts_df(spark, n_convs=200, num_partitions=8)
+    out = QualityFilterPipeline().run(df)
+    return out.select(
+        "conv_id", "turn_idx", "keep", "rule_hits", "scrubbed_text"
+    )
+
+
+# ===========================================================================
+# flagship: full keep/drop + scrub quality filter over documents
+# ===========================================================================
+
+
+@_q(
+    "doc_quality_filter",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars_f,
+             len({_TOKS_SQL}) AS n_tokens_f,
+             CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(list_transform({_TOKS_SQL},
+                       x -> lower(x)))) AS DOUBLE) / CAST(len({_TOKS_SQL}) AS DOUBLE)
+             END AS rep_f,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE (length(text) - length(regexp_replace(text,
+                       '[^A-Za-z0-9 \\t\\n\\r\\f]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE)
+             END AS sym_f
+      FROM documents
+    )
+    SELECT doc_id,
+           COALESCE(text IS NOT NULL, FALSE)
+           AND COALESCE(n_chars_f BETWEEN 1 AND 8000, FALSE)
+           AND COALESCE(n_tokens_f >= 1, FALSE)
+           AND COALESCE(rep_f <= 0.9, FALSE)
+           AND COALESCE(sym_f <= 0.3, FALSE) AS keep,
+           {_scrub_sql_chain()} AS scrubbed_text
+    FROM feat
+    """,
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: the BASELINE keep/drop-and-scrub engine applied to the
+    documents table — feature projection, rule bank, sequential scrub, all
+    inside one Catalyst plan (zero Python, zero shuffles).
+
+    The transcripts-shaped variant (windows + langid + perplexity UDF
+    stages) is `transcript_quality_filter`; this one is fully
+    oracle-checkable byte-for-byte.
+    """
+    df = _read(spark, sf_dir, "documents")
+    df = df.withColumns(
+        {
+            "n_chars_f": F.length("text"),
+            "n_tokens_f": T.token_count("text"),
+            "rep_f": T.word_repetition_ratio("text"),
+            "sym_f": T.symbol_ratio("text"),
+        }
+    )
+    rules = RuleSet(
+        [
+            expr_rule("text_non_null", "ISNOTNULL(text)"),
+            expr_rule("len_in_range", "n_chars_f BETWEEN 1 AND 8000"),
+            expr_rule("min_tokens", "n_tokens_f >= 1"),
+            expr_rule("rep_ratio_max", "rep_f <= 0.9"),
+            expr_rule("symbol_ratio_max", "sym_f <= 0.3"),
+        ]
+    )
+    # strict keep: a NULL rule result is NOT a pass here (flagship drops
+    # unknowns), matching the COALESCE(..., FALSE) oracle formulation
+    keep = F.lit(True)
+    for r in rules:
+        keep = keep & F.coalesce(r.column, F.lit(False))
+    df = scrub_columns(df, hits_col=None)
+    return df.select("doc_id", keep.alias("keep"), "scrubbed_text")

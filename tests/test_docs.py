@@ -49,16 +49,30 @@ def test_quality_score_bounds_and_monotonicity(spark):
     assert got[4] == 0.0 and got[5] == 0.0
 
 
-def test_heuristic_language_on_fixture(table):
-    # documents table carries a lang column; the stopword heuristic should
-    # agree on a clear majority of non-trivial docs
-    scored = table.select(
-        "lang", DOC.heuristic_language("text").alias("lang_heur")
-    ).where(F.length("text") > 80)
-    total = scored.count()
-    agree = scored.where(F.col("lang") == F.col("lang_heur")).count()
-    assert total > 0
-    assert agree / total >= 0.7, f"{agree}/{total}"
+def test_heuristic_language_on_planted_sentences(spark):
+    # the documents table's lang column is a synthetic label uncorrelated
+    # with its (English keyword-soup) text, so ground truth comes from
+    # planted sentences in real languages instead
+    cases = [
+        ("the results are good and they show that it works", "en"),
+        ("el problema es que el servidor no responde y la red es lenta", "es"),
+        ("le serveur ne répond pas et je ne sais pas pourquoi", "fr"),
+        ("der server ist nicht erreichbar und die daten sind weg", "de"),
+        ("o problema é que o servidor não responde e a rede é lenta", "pt"),
+        ("il server non risponde e non sono sicuro del perché", "it"),
+        ("zzz qqq xxx", "und"),
+    ]
+    df = spark.createDataFrame(cases, "text string, want string")
+    got = df.select("want", DOC.heuristic_language("text").alias("lh")).collect()
+    for r in got:
+        assert r["lh"] == r["want"], (r["want"], r["lh"])
+
+
+def test_heuristic_language_deterministic_on_fixture(table):
+    a = [tuple(r) for r in table.select("doc_id", DOC.heuristic_language("text").alias("lh")).collect()]
+    b = [tuple(r) for r in table.select("doc_id", DOC.heuristic_language("text").alias("lh")).collect()]
+    assert sorted(a) == sorted(b)
+    assert {l for _, l in a} <= {"de", "en", "es", "fr", "it", "pt", "und"}
 
 
 def test_document_features_single_projection(table):
