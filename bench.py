@@ -60,8 +60,10 @@ def run_pipeline(spark) -> tuple[float, int]:
     from data_caterer_spark.fixtures import generate_transcripts_distributed
     from data_caterer_spark.plans.pipeline import QualityFilterPipeline
 
+    # fixed 128-chunk layout regardless of CPUS so the scaling comparison
+    # (local[8] vs local[32]) runs the IDENTICAL job on identical input
     df = generate_transcripts_distributed(
-        spark, n_convs=PIPELINE_CONVS, convs_per_task=PIPELINE_CONVS // (CPUS * 2) + 1
+        spark, n_convs=PIPELINE_CONVS, convs_per_task=max(1, PIPELINE_CONVS // 128)
     )
     df = df.localCheckpoint()  # materialize input so we time the pipeline, not synthesis
     n_turns = df.count()

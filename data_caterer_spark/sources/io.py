@@ -1,0 +1,87 @@
+"""Batch sources and sinks.
+
+Mirrors the reference's connection surface Spark-first:
+* read — ``spark.read.format(fmt).options(conf).load()``
+  (``ValidationProcessor.scala:101-115``, ``ValidationOperations.scala:90-98``)
+* write — ``df.write.format(fmt).mode(saveMode).options(conf).save()``
+  with ``partitionBy`` / ``repartition`` options
+  (``SinkFactory.scala:65-96``)
+* omit-column projection before the sink (``SinkFactory.scala:113-120``)
+
+Iceberg is the production catalog (BASELINE north_rule); this sandbox has
+no Iceberg runtime jar (``config.iceberg_available``), so the same
+semantics run against partitioned parquet + the manifest sidecar in
+``sources/manifest.py`` (snapshot/resume bookkeeping).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+BATCH_FORMATS = {"csv", "json", "parquet", "orc"}
+
+# formats the reference treats as real-time/connection-managed and skips in
+# batch validation (HTTP/JMS, ValidationProcessor.scala:104-108)
+NON_BATCH_FORMATS = {"http", "jms"}
+
+
+def read_source(
+    spark: SparkSession,
+    fmt: str,
+    path: str | None = None,
+    table: str | None = None,
+    options: Mapping[str, str] | None = None,
+    schema: str | None = None,
+) -> DataFrame:
+    """Generic batch read.  ``table`` targets a catalog table (Iceberg in
+    production); ``path`` targets files."""
+    if fmt in NON_BATCH_FORMATS:
+        raise ValueError(f"{fmt} is not a batch-readable source")
+    reader = spark.read.format(fmt)
+    if options:
+        reader = reader.options(**dict(options))
+    if schema is not None:
+        reader = reader.schema(schema)
+    if table is not None:
+        return spark.read.table(table)
+    if path is None:
+        raise ValueError("one of path/table required")
+    return reader.load(path)
+
+
+def write_sink(
+    df: DataFrame,
+    fmt: str,
+    path: str | None = None,
+    table: str | None = None,
+    mode: str = "append",
+    options: Mapping[str, str] | None = None,
+    partition_by: Sequence[str] | None = None,
+    num_partitions: int | None = None,
+    omit_cols: Sequence[str] | None = None,
+) -> None:
+    """Generic batch write with the reference's sink options.
+
+    ``num_partitions`` mirrors the ``partitions`` sink option
+    (``SinkFactory.scala:82-83``); ``partition_by`` mirrors ``partitionBy``
+    (``:81,84-87``); ``omit_cols`` drops intermediate columns before the
+    sink (``:113-120`` — the target drops score/debug columns unless asked
+    to keep them).
+    """
+    if omit_cols:
+        df = df.drop(*omit_cols)
+    if num_partitions is not None:
+        df = df.repartition(num_partitions)
+    writer = df.write.format(fmt).mode(mode)
+    if options:
+        writer = writer.options(**dict(options))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if table is not None:
+        writer.saveAsTable(table)
+    elif path is not None:
+        writer.save(path)
+    else:
+        raise ValueError("one of path/table required")

@@ -1,0 +1,176 @@
+"""Structured-Streaming quality filter.
+
+The reference's streaming surface is vestigial (a ``rate`` format constant,
+no watermarks/state — SURVEY.md §2.9), so this module is new-build: the
+same rule/scrub/model kernels applied to a stream of transcript turns.
+
+Three layers, by state requirement:
+
+* :func:`streaming_quality_filter` — the STATELESS stages (text features,
+  langid, perplexity, per-turn rules, scrub).  Works on any streaming
+  DataFrame with the transcript schema; appendable sink, no watermark
+  needed.  Cross-turn rules (role alternation, contiguity) are skipped —
+  they need ordering state.
+* :func:`windowed_conversation_metrics` — per-conversation tumbling-window
+  aggregates with a watermark for late turns (drop-rate and rule-hit
+  monitoring over event time).
+* :func:`stateful_turn_order` — ``applyInPandasWithState`` keyed by
+  conv_id: maintains (last_turn_idx, last_role, last_ts) per conversation
+  so the cross-turn rules run exactly as in batch for in-order delivery.
+
+Scale notes: state is O(#live conversations) x ~3 scalars; the state store
+shuffles by conv_id, so the hot-conversation skew answer is the same as
+batch (AQE cannot help in streaming — keep conv_id cardinality high, or
+pre-bucket the source by conv_id so the exchange is avoided entirely).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions import text as T
+from ..functions.langid import with_language
+from ..functions.perplexity import with_perplexity
+from ..functions.scrub import scrub_columns
+from ..operators.rules import RuleSet
+from ..plans.pipeline import QualityFilterConfig, QualityFilterPipeline
+
+
+def _stateless_rules(pipe: QualityFilterPipeline) -> RuleSet:
+    """The per-turn subset of the heuristic bank (no prev_* references)."""
+    cross_turn = {"role_alternation", "turn_contiguous", "ts_monotone"}
+    return RuleSet([r for r in pipe.heuristic_rules() if r.rule_id not in cross_turn])
+
+
+def streaming_quality_filter(
+    stream: DataFrame, config: QualityFilterConfig | None = None
+) -> DataFrame:
+    """Stateless keep/drop + scrub over a stream of turns.
+
+    Identical kernels to the batch plan (same broadcast models, same scrub
+    bank) so a turn gets the same verdict whether it arrives in a batch
+    backfill or on the stream — minus the cross-turn flag rules, which
+    need ordering state (see :func:`stateful_turn_order`).
+    """
+    pipe = QualityFilterPipeline(config)
+    cfg = pipe.config
+    df = T.with_text_features(stream, char_run=cfg.char_run)
+    df = with_language(df, model=pipe.langid_model)
+    df = with_perplexity(df, model=pipe.ppl_model)
+    rules = _stateless_rules(pipe)
+    df = df.withColumn("heur_hits", rules.hits_column())
+    df = scrub_columns(df)
+    df = df.withColumn("rule_hits", F.concat("heur_hits", "scrub_hits"))
+    keep = rules.keep_column(F.col("heur_hits"))
+    if cfg.drop_on_toxicity:
+        keep = keep & ~F.array_contains("scrub_hits", "toxicity")
+    return df.withColumn("keep", keep).drop("heur_hits")
+
+
+def windowed_conversation_metrics(
+    stream: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    config: QualityFilterConfig | None = None,
+) -> DataFrame:
+    """Tumbling-window drop-rate monitoring with late-data handling.
+
+    Aggregates the filtered stream per event-time window: turns seen, kept,
+    and per-rule hit counts — the streaming analog of the batch lineage
+    sidecar rows (sources/manifest.py).
+    """
+    labeled = streaming_quality_filter(stream, config)
+    return (
+        labeled.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.count_if(F.col("keep")).alias("kept"),
+            F.count_if(F.size("rule_hits") > 0).alias("flagged"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "turns",
+            "kept",
+            "flagged",
+        )
+    )
+
+
+_STATE_SCHEMA = "last_turn_idx int, last_role string, last_ts double"
+_ORDER_OUT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, "
+    "role_alternation_ok boolean, turn_contiguous boolean, ts_monotone boolean"
+)
+
+
+def _order_fn(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-conversation ordering state: replays the batch cross-turn rules
+    over whatever arrived this microbatch (sorted by turn_idx)."""
+    if state.exists:
+        last_idx, last_role, last_ts = state.get
+    else:
+        last_idx, last_role, last_ts = None, None, None
+    out: list[dict[str, Any]] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("turn_idx")
+        for row in pdf.itertuples(index=False):
+            ts_val = row.ts.timestamp() if row.ts is not None else None
+            alternation_ok = not (
+                row.role == last_role and row.role in ("user", "assistant")
+            )
+            contiguous = (
+                (last_idx is None and row.turn_idx == 0)
+                or (last_idx is not None and row.turn_idx == last_idx + 1)
+            )
+            monotone = (
+                last_ts is None or ts_val is None or ts_val >= last_ts
+            )
+            out.append(
+                {
+                    "conv_id": key[0],
+                    "turn_idx": row.turn_idx,
+                    "role": row.role,
+                    "role_alternation_ok": alternation_ok,
+                    "turn_contiguous": contiguous,
+                    "ts_monotone": monotone,
+                }
+            )
+            last_idx, last_role = row.turn_idx, row.role
+            if ts_val is not None:
+                last_ts = ts_val
+    state.update((last_idx, last_role, last_ts))
+    yield pd.DataFrame(out, columns=[
+        "conv_id", "turn_idx", "role",
+        "role_alternation_ok", "turn_contiguous", "ts_monotone",
+    ])
+
+
+def stateful_turn_order(stream: DataFrame) -> DataFrame:
+    """Cross-turn rule evaluation on a stream via per-conversation state.
+
+    ``applyInPandasWithState`` keyed on conv_id; state = the last seen
+    (turn_idx, role, ts).  This is the streaming replacement for the batch
+    ``Window.partitionBy(conv_id).orderBy(turn_idx)`` lag features.
+    """
+    return (
+        stream.select("conv_id", "turn_idx", "role", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _order_fn,
+            outputStructType=_ORDER_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,109 @@
+"""Checkpoint/resume + lineage sidecar tests (north_rule requirement)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_caterer_spark.fixtures import generate_transcripts_df
+from data_caterer_spark.plans.pipeline import QualityFilterPipeline
+from data_caterer_spark.sources.manifest import ManifestSidecar, ResumableRunner
+from data_caterer_spark.sources.io import read_source, write_sink
+
+
+@pytest.fixture()
+def transcripts(spark):
+    return generate_transcripts_df(spark, n_convs=80).localCheckpoint()
+
+
+def _pipeline_fn(df):
+    out = QualityFilterPipeline().run(df)
+    return out.select("conv_id", "turn_idx", "keep", "rule_hits", "scrubbed_text")
+
+
+def test_resume_after_crash(spark, transcripts, tmp_path):
+    out_dir = str(tmp_path / "out")
+    man_dir = str(tmp_path / "manifest")
+    runner = ResumableRunner(spark, out_dir, man_dir, n_groups=4)
+
+    with pytest.raises(RuntimeError, match="injected failure on group 2"):
+        runner.run(transcripts, _pipeline_fn, fail_on_group=2)
+    done_first = ManifestSidecar(spark, man_dir).completed_groups()
+    assert done_first == {0, 1}
+
+    # resume: only the remaining groups run
+    processed = runner.run(transcripts, _pipeline_fn)
+    assert processed == [2, 3]
+
+    # output complete and exact: same rows as a straight single-shot run
+    got = runner.output().drop("group")
+    straight = _pipeline_fn(transcripts)
+    assert got.count() == transcripts.count() == straight.count()
+    key = ["conv_id", "turn_idx"]
+    joined = got.alias("a").join(straight.alias("b"), key)
+    agree = joined.where(
+        (F.col("a.keep") == F.col("b.keep"))
+        & (F.col("a.scrubbed_text").eqNullSafe(F.col("b.scrubbed_text")))
+    ).count()
+    assert agree == straight.count()
+
+
+def test_rerun_is_noop(spark, transcripts, tmp_path):
+    out_dir = str(tmp_path / "out")
+    man_dir = str(tmp_path / "manifest")
+    runner = ResumableRunner(spark, out_dir, man_dir, n_groups=3)
+    assert len(runner.run(transcripts, _pipeline_fn)) == 3
+    assert runner.run(transcripts, _pipeline_fn) == []
+    # manifest has exactly one record per group
+    man = ManifestSidecar(spark, man_dir).read()
+    assert man.count() == 3
+
+
+def test_lineage_metrics(spark, transcripts, tmp_path):
+    runner = ResumableRunner(
+        spark, str(tmp_path / "out"), str(tmp_path / "man"), n_groups=2
+    )
+    runner.run(transcripts, _pipeline_fn)
+    man = ManifestSidecar(spark, str(tmp_path / "man")).read().collect()
+    total_in = sum(r["rows_in"] for r in man)
+    total_kept = sum(r["rows_kept"] for r in man)
+    assert total_in == transcripts.count()
+    straight_kept = _pipeline_fn(transcripts).where("keep").count()
+    assert total_kept == straight_kept
+    hits = json.loads(man[0]["rule_hits"])
+    assert isinstance(hits, dict) and hits, "rule-hit histogram present"
+    assert all(r["wall_s"] > 0 for r in man)
+
+
+def test_io_roundtrip_formats(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("s")
+    )
+    for fmt in ["parquet", "orc", "json", "csv"]:
+        path = str(tmp_path / fmt)
+        write_sink(df, fmt, path=path, mode="overwrite",
+                   options={"header": "true"} if fmt == "csv" else None)
+        back = read_source(
+            spark, fmt, path=path,
+            options={"header": "true", "inferSchema": "true"} if fmt == "csv" else None,
+        )
+        assert back.count() == 100
+        assert set(back.columns) == {"id", "k", "s"}
+
+
+def test_write_sink_partitioning_and_omit(spark, tmp_path):
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") % 5).alias("bucket"), F.lit("x").alias("debug_col")
+    )
+    path = str(tmp_path / "p")
+    write_sink(
+        df, "parquet", path=path, mode="overwrite",
+        partition_by=["bucket"], omit_cols=["debug_col"],
+    )
+    back = spark.read.parquet(path)
+    assert "debug_col" not in back.columns
+    assert back.count() == 50
+    import os
+    assert any(d.startswith("bucket=") for d in os.listdir(path))
