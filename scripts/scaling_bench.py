@@ -27,9 +27,17 @@ def run_once(cpus: int, convs: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_BENCH_CONVS"] = str(convs)
+    env["SPARK_GRAFT_DRIVER_MEM"] = f"{max(8, cpus)}g"
+    # pin the WHOLE process tree (JVM task threads + Python UDF workers)
+    # to exactly `cpus` cores: without affinity, a local[8] run's Python
+    # workers spill onto the machine's idle cores and inflate the small-N
+    # rate, understating scaling efficiency vs a real 8-core executor set
+    cmd = [
+        "taskset", "-c", f"0-{cpus - 1}",
+        sys.executable, os.path.join(REPO, "bench.py"), "--job", "pipeline",
+    ]
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--job", "pipeline"],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+        cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -61,7 +69,9 @@ def main() -> None:
 
 Same job, identical input ({small['pipeline_turns']} turns, fixed 128-chunk
 layout, seed 42), fresh JVM per run, best of {args.repeats}; measured via
-`bench.py --job pipeline` (steady-state: warm-up excluded).
+`bench.py --job pipeline` (steady-state: warm-up excluded).  Each run is
+pinned with `taskset` to exactly its core budget so local[N] simulates an
+N-core executor set honestly (JVM + Python UDF workers share the budget).
 
 | parallelism | wall (s) | turns/sec |
 | --- | --- | --- |
