@@ -961,3 +961,106 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = keep & F.coalesce(r.column, F.lit(False))
     df = scrub_columns(df, hits_col=None)
     return df.select("doc_id", keep.alias("keep"), "scrubbed_text")
+
+
+# ===========================================================================
+# §2.7 set operations
+# ===========================================================================
+
+
+@_q(
+    "set_ops_orphan_keys",
+    """
+    SELECT o_orderkey FROM orders
+    EXCEPT
+    SELECT l_orderkey AS o_orderkey FROM lineitem
+    """,
+)
+def set_ops_orphan_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: order keys with no lineitems."""
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey")
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return orders.exceptAll(li).distinct()
+
+
+@_q(
+    "set_ops_shared_keys_count",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS shared FROM (
+      SELECT o_custkey AS k FROM orders INTERSECT SELECT c_custkey FROM customer
+    )
+    """,
+)
+def set_ops_shared_keys_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: customers that actually placed orders."""
+    a = _read(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    b = _read(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return a.intersect(b).agg(F.count(F.lit(1)).alias("shared"))
+
+
+# ===========================================================================
+# generation surface (rows-only: seeded Spark RAND has no DuckDB analog)
+# ===========================================================================
+
+
+@_q("generate_seeded_table")
+def generate_seeded_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded expression-based generation (DataGeneratorFactory semantics):
+    bounded numerics, oneOf, dates, null injection, dependent SQL field —
+    deterministic for a fixed seed+partitioning (pinned in
+    tests/test_generator.py)."""
+    from .operators.generator import FieldSpec, generate
+
+    fields = [
+        FieldSpec("acct_id", "long", min=10**9, max=2 * 10**9, seed=42),
+        FieldSpec("status", one_of=["open", "closed", "pending"], seed=43),
+        FieldSpec("balance", "double", min=0, max=10000, seed=44, null_prob=0.05),
+        FieldSpec("opened", "date", min="2015-01-01", max="2024-12-31", seed=45),
+        FieldSpec("year", sql="YEAR(opened)"),
+        FieldSpec("is_rich", sql="balance > 9000"),
+    ]
+    return generate(spark, fields, 1000, num_partitions=4)
+
+
+@_q("generate_fk_consistent_tables")
+def generate_fk_consistent_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table generation with FK consistency via ordinal assignment
+    (ForeignKeyUtil semantics) + per-column-count explode + unique
+    enforcement; returns per-customer order counts as the verifiable
+    artifact (every order's FK must resolve)."""
+    from .operators.generator import (
+        FieldSpec,
+        assign_foreign_key,
+        enforce_unique,
+        generate,
+        per_column_count,
+    )
+
+    customers = enforce_unique(
+        generate(
+            spark,
+            [FieldSpec("cust_id", "long", min=1, max=10**6, seed=7)],
+            200,
+            num_partitions=2,
+        ),
+        ["cust_id"],
+    )
+    orders = generate(
+        spark,
+        [
+            FieldSpec("order_id", "long", min=1, max=10**9, seed=8),
+            FieldSpec("cust_id", "long", min=0, max=0),
+            FieldSpec("amount", "double", min=1, max=500, seed=9),
+        ],
+        300,
+        num_partitions=2,
+    )
+    orders = per_column_count(orders, 2)
+    orders = assign_foreign_key(orders, customers, "cust_id", "cust_id")
+    return (
+        orders.join(customers, "cust_id", "inner")
+        .groupBy("cust_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
