@@ -64,10 +64,15 @@ def token_count(text: str | Column) -> Column:
     )
 
 
+REP_TOKEN_CAP = 200  # keep in sync with textcore.REP_TOKEN_CAP
+
+
 def word_repetition_ratio(text: str | Column) -> Column:
-    """1 - distinct/total lowercased tokens (``textcore.word_repetition_ratio``)."""
+    """1 - distinct/total over the first REP_TOKEN_CAP lowercased tokens
+    (``textcore.word_repetition_ratio``).  The cap bounds the per-row
+    distinct-set cost on pathological mega-documents."""
     c = _col(text)
-    toks = tokens_lower(c)
+    toks = F.slice(tokens_lower(c), 1, REP_TOKEN_CAP)
     n = F.size(toks)
     ratio = F.when(n == 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
@@ -75,13 +80,24 @@ def word_repetition_ratio(text: str | Column) -> Column:
     return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(ratio)
 
 
+ALNUM_WS_CHARS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789" + WS_CHARS
+)
+
+
 def symbol_ratio(text: str | Column) -> Column:
-    """Non-alphanumeric character fraction (``textcore.symbol_ratio``)."""
+    """Non-alphanumeric character fraction (``textcore.symbol_ratio``).
+
+    ``translate`` deletes the keep-set char-by-char with a plain lookup
+    table — measured 16x faster than the negated-class regex forms
+    (Java regex negated classes were the single slowest kernel in the
+    pipeline) and byte-identical in result.
+    """
     c = _col(text)
     n = F.length(c)
-    kept = F.length(F.regexp_replace(c, NON_ALNUM_PATTERN, ""))
+    symbols = F.length(F.translate(c, ALNUM_WS_CHARS, ""))
     return F.when(n == 0, F.lit(0.0)).otherwise(
-        (n - kept).cast("double") / n.cast("double")
+        symbols.cast("double") / n.cast("double")
     )
 
 
@@ -125,9 +141,11 @@ def with_text_features(df, text_col: str = "text", char_run: int = 10):
     toks = _F.col(toks_col)
     n = _F.size(toks)
     n_tokens = _F.when(c.isNull(), _F.lit(None).cast("int")).otherwise(n)
-    rep = _F.when(n == 0, _F.lit(0.0)).otherwise(
+    toks_capped = _F.slice(toks, 1, REP_TOKEN_CAP)
+    nc = _F.size(toks_capped)
+    rep = _F.when(nc == 0, _F.lit(0.0)).otherwise(
         _F.lit(1.0)
-        - _F.size(_F.array_distinct(toks)).cast("double") / n.cast("double")
+        - _F.size(_F.array_distinct(toks_capped)).cast("double") / nc.cast("double")
     )
     rep = _F.when(c.isNull(), _F.lit(None).cast("double")).otherwise(rep)
     df = df.withColumns(
@@ -142,11 +160,15 @@ def with_text_features(df, text_col: str = "text", char_run: int = 10):
     return df.drop(toks_col)
 
 
+PRINTABLE_ASCII = "".join(chr(i) for i in range(0x20, 0x7F))
+
+
 def ascii_ratio(text: str | Column) -> Column:
-    """Fraction of characters in printable ASCII — fast langid prefilter."""
+    """Fraction of characters in printable ASCII — fast langid prefilter.
+    translate-based for the same reason as :func:`symbol_ratio`."""
     c = _col(text)
     n = F.length(c)
-    kept = F.length(F.regexp_replace(c, "[^ -~]", ""))
+    non_ascii = F.length(F.translate(c, PRINTABLE_ASCII, ""))
     return F.when(n == 0, F.lit(1.0)).otherwise(
-        kept.cast("double") / n.cast("double")
+        (n - non_ascii).cast("double") / n.cast("double")
     )

@@ -44,9 +44,17 @@ def token_count(text: str) -> int:
     return len(tokens_of(text))
 
 
+# repetition ratio is computed over the first REP_TOKEN_CAP tokens: the
+# signal saturates long before that, and an unbounded distinct over
+# pathological mega-documents made the JVM kernel allocation-bound
+# (measured: the array_distinct stage stopped scaling with cores).
+REP_TOKEN_CAP = 200
+
+
 def word_repetition_ratio(text: str) -> float:
-    """1 - distinct/total over lowercased whitespace tokens; 0.0 if empty."""
-    toks = [t.lower() for t in tokens_of(text)]
+    """1 - distinct/total over the first REP_TOKEN_CAP lowercased tokens;
+    0.0 if empty."""
+    toks = [t.lower() for t in tokens_of(text)[:REP_TOKEN_CAP]]
     if not toks:
         return 0.0
     return 1.0 - len(set(toks)) / len(toks)

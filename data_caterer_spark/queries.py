@@ -555,9 +555,9 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((length(text) - length(regexp_replace(text,
                  '[^A-Za-z0-9 \\t\\n\\r\\f]', '', 'g')))
                  / CAST(length(text) AS DOUBLE), 6) AS symbol_ratio,
-           round(1.0 - CAST(len(list_distinct(list_transform({_TOKS_SQL},
+           round(1.0 - CAST(len(list_distinct(list_transform(({_TOKS_SQL})[1:200],
                  x -> lower(x)))) AS DOUBLE)
-                 / CAST(len({_TOKS_SQL}) AS DOUBLE), 6) AS rep_ratio,
+                 / CAST(len(({_TOKS_SQL})[1:200]) AS DOUBLE), 6) AS rep_ratio,
            round(length(regexp_replace(text, '[^ -~]', '', 'g'))
                  / CAST(length(text) AS DOUBLE), 6) AS ascii_ratio
     FROM documents WHERE text IS NOT NULL AND length(text) > 0
@@ -906,9 +906,10 @@ def transcript_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text,
              length(text) AS n_chars_f,
              len({_TOKS_SQL}) AS n_tokens_f,
-             CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0
-                  ELSE 1.0 - CAST(len(list_distinct(list_transform({_TOKS_SQL},
-                       x -> lower(x)))) AS DOUBLE) / CAST(len({_TOKS_SQL}) AS DOUBLE)
+             CASE WHEN len(({_TOKS_SQL})[1:200]) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(list_transform(({_TOKS_SQL})[1:200],
+                       x -> lower(x)))) AS DOUBLE)
+                       / CAST(len(({_TOKS_SQL})[1:200]) AS DOUBLE)
              END AS rep_f,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE (length(text) - length(regexp_replace(text,

@@ -19,6 +19,14 @@ import pytest
 from data_caterer_spark.queries import QUERIES
 
 
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    # other modules cache test tables; a cached relation becomes
+    # InMemoryTableScan and hides the FileScan details asserted here
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
