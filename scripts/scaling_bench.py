@@ -46,18 +46,24 @@ def run_once(cpus: int, convs: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=160000)
-    ap.add_argument("--n", type=int, default=8, help="small size N (big is 4N)")
+    ap.add_argument("--n", type=int, default=4, help="small size N (big is 4N)")
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
+    # co-tenant noise on this box makes single runs vary up to 3x; the two
+    # configs are INTERLEAVED and each keeps its best run, so both sample
+    # the quiet windows and best-case throughputs are comparable
     results: dict[int, dict] = {}
-    for cpus in (args.n, args.n * 4):
-        best = None
-        for _ in range(args.repeats):
+    for i in range(args.repeats):
+        for cpus in (args.n, args.n * 4):
             r = run_once(cpus, args.convs)
+            print(f"  trial {i}: local[{cpus}] {r['pipeline_turns_per_sec']} turns/s "
+                  f"({r['queries']['transcript_pipeline']} s)")
+            best = results.get(cpus)
             if best is None or r["pipeline_turns_per_sec"] > best["pipeline_turns_per_sec"]:
-                best = r
-        results[cpus] = best
+                results[cpus] = r
+    for cpus in (args.n, args.n * 4):
+        best = results[cpus]
         print(f"local[{cpus}]: {best['pipeline_turns_per_sec']} turns/s "
               f"({best['queries']['transcript_pipeline']} s, {best['pipeline_turns']} turns)")
 
@@ -68,10 +74,13 @@ def main() -> None:
     section = f"""## Scaling evidence: N vs 4N parallelism (quality-filter pipeline)
 
 Same job, identical input ({small['pipeline_turns']} turns, fixed 128-chunk
-layout, seed 42), fresh JVM per run, best of {args.repeats}; measured via
-`bench.py --job pipeline` (steady-state: warm-up excluded).  Each run is
-pinned with `taskset` to exactly its core budget so local[N] simulates an
-N-core executor set honestly (JVM + Python UDF workers share the budget).
+layout, seed 42), fresh JVM per run, configs interleaved and best of
+{args.repeats} trials each (this box has heavy co-tenant noise — up to 3x
+run-to-run variance — so best-of-interleaved is the comparable statistic);
+measured via `bench.py --job pipeline` (steady-state: warm-up excluded).
+Each run is pinned with `taskset` to exactly its core budget so local[N]
+simulates an N-core executor set honestly (JVM + Python UDF workers share
+the budget).
 
 | parallelism | wall (s) | turns/sec |
 | --- | --- | --- |
