@@ -172,45 +172,81 @@ def with_lsh_buckets(
     seed: int = 42,
     vec_col: str = "embedding",
     out_col: str = "buckets",
+    probes: int = 0,
 ) -> DataFrame:
-    """Add ``buckets: array<bigint>`` — element t is the row's bucket in
-    hash table t.  Multiple independent tables trade compute for recall.
+    """Add the row's LSH bucket per hash table.
+
+    ``probes == 0`` -> ``array<bigint>`` (element t = bucket in table t).
+    ``probes  > 0`` -> ``array<array<bigint>>`` (element t = the main
+    bucket followed by ``probes`` multiprobe buckets, each obtained by
+    flipping one of the lowest-|margin| sign bits — the classic multiprobe
+    heuristic: the planes the vector nearly touches are the ones a true
+    neighbor most likely lands on the other side of).
 
     All tables are computed in ONE Arrow round trip as a single numpy
-    matmul: (batch x dim) @ (dim x tables*planes) -> sign bits -> packed
-    bucket ids.  The Catalyst fold formulation evaluated
-    tables*planes*dim interpreted lambdas per row (~3 ms/row measured);
-    this is BLAS time (~2 us/row) — exactly the "batched model in a
+    matmul: (batch x dim) @ (dim x tables*planes) -> signed margins ->
+    packed bucket ids (+ probe flips).  The Catalyst fold formulation
+    evaluated tables*planes*dim interpreted lambdas per row (~3 ms/row
+    measured); this is BLAS time — the same "batched model in a
     pandas/Arrow UDF" shape the engine uses for langid/perplexity.
     """
+    if probes >= num_planes:
+        raise ValueError("probes must be < num_planes")
     mats = [
         np.array(_hyperplanes(dim, num_planes, seed + 1000 * t), dtype=np.float64).T
         for t in range(num_tables)
     ]
     all_planes = np.concatenate(mats, axis=1)  # (dim, tables*planes)
     bc = df.sparkSession.sparkContext.broadcast(all_planes.tobytes())
-    n_tables, n_planes, d = num_tables, num_planes, dim
+    n_tables, n_planes, d, n_probes = num_tables, num_planes, dim, probes
     pow2 = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
 
-    @pandas_udf("array<bigint>")
-    def _buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    def _compute(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
         planes = np.frombuffer(bc.value, dtype=np.float64).reshape(
             d, n_tables * n_planes
         )
-        for series in batches:
-            mat = np.array(
-                [
-                    v if v is not None else np.zeros(d, dtype=np.float64)
-                    for v in series
-                ],
-                dtype=np.float64,
-            )
-            bits = (mat @ planes) >= 0  # (batch, tables*planes)
-            bits = bits.reshape(len(series), n_tables, n_planes)
-            ids = (bits * pow2).sum(axis=2).astype(np.int64)  # (batch, tables)
-            yield pd.Series(list(ids))
+        mat = np.array(
+            [v if v is not None else np.zeros(d, dtype=np.float64) for v in series],
+            dtype=np.float64,
+        )
+        margins = (mat @ planes).reshape(len(series), n_tables, n_planes)
+        bits = margins >= 0
+        ids = (bits * pow2).sum(axis=2).astype(np.int64)  # (batch, tables)
+        return ids, margins
 
-    return df.withColumn(out_col, _buckets(F.col(vec_col).cast("array<double>")))
+    if n_probes == 0:
+
+        @pandas_udf("array<bigint>")
+        def _buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for series in batches:
+                ids, _ = _compute(series)
+                yield pd.Series(list(ids))
+
+        return df.withColumn(
+            out_col, _buckets(F.col(vec_col).cast("array<double>"))
+        )
+
+    @pandas_udf("array<array<bigint>>")
+    def _probe_buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batches:
+            ids, margins = _compute(series)
+            # flip the n_probes lowest-|margin| bits per (row, table)
+            order = np.argsort(np.abs(margins), axis=2)[:, :, :n_probes]
+            out = []
+            for r in range(ids.shape[0]):
+                per_table = []
+                for t in range(n_tables):
+                    main = ids[r, t]
+                    row = [main]
+                    for j in range(n_probes):
+                        row.append(int(main ^ (1 << int(order[r, t, j]))))
+                    per_table.append(row)
+                out.append(per_table)
+            yield pd.Series(out)
+
+    return df.withColumn(
+        out_col, _probe_buckets(F.col(vec_col).cast("array<double>"))
+    )
 
 
 def lsh_knn_join(
@@ -223,6 +259,7 @@ def lsh_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float | None = None,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate self knn-join: candidates = same (table, bucket),
     scored exactly, top-k per left id (or thresholded when ``min_cosine``
@@ -231,21 +268,43 @@ def lsh_knn_join(
     Shuffle profile: explode by table (xT rows) -> equi-join on
     (table, bucket) -> per-bucket pair scoring -> window top-k.  Bucket
     occupancy ~ n / 2^num_planes per table; tune num_planes so buckets fit
-    a reducer, AQE splits stragglers.
+    a reducer, AQE splits stragglers.  ``probes`` > 0 additionally visits
+    the buckets one low-margin sign-flip away (probe side only, so the
+    join fans out by (1+probes) on one side, not both).
     """
     bucketed = with_lsh_buckets(
-        left, dim, num_tables, num_planes, seed, vec_col
-    ).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-        F.posexplode("buckets").alias("table", "bucket"),
+        left, dim, num_tables, num_planes, seed, vec_col, probes=probes
     )
-    a = bucketed.select(
-        "table", "bucket", F.col("id").alias("id_a"), F.col("__v").alias("__va")
-    )
-    b = bucketed.select(
-        "table", "bucket", F.col("id").alias("id_b"), F.col("__v").alias("__vb")
-    )
+    if probes == 0:
+        exploded = bucketed.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.posexplode("buckets").alias("table", "bucket"),
+        )
+        a = exploded.select(
+            "table", "bucket", F.col("id").alias("id_a"), F.col("__v").alias("__va")
+        )
+        b = exploded.select(
+            "table", "bucket", F.col("id").alias("id_b"), F.col("__v").alias("__vb")
+        )
+    else:
+        per_table = bucketed.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.posexplode("buckets").alias("table", "bs"),
+        )
+        a = per_table.select(
+            "table",
+            F.explode("bs").alias("bucket"),  # main + probe buckets
+            F.col("id").alias("id_a"),
+            F.col("__v").alias("__va"),
+        )
+        b = per_table.select(
+            "table",
+            F.element_at("bs", 1).alias("bucket"),  # main bucket only
+            F.col("id").alias("id_b"),
+            F.col("__v").alias("__vb"),
+        )
     cand = (
         a.join(b, ["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))

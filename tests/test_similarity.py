@@ -59,6 +59,26 @@ def test_lsh_recall_at_k(emb):
     assert recall >= 0.5, recall
 
 
+def test_multiprobe_improves_recall(emb):
+    dim = len(emb.first()["embedding"])
+    sample = emb.limit(200)
+    exact = {(r["id_a"], r["id_b"]) for r in S.brute_force_knn_join(sample, k=3).collect()}
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in S.lsh_knn_join(sample, dim, k=3, num_tables=4, num_planes=8).collect()
+    }
+    probed = {
+        (r["id_a"], r["id_b"])
+        for r in S.lsh_knn_join(
+            sample, dim, k=3, num_tables=4, num_planes=8, probes=3
+        ).collect()
+    }
+    r_plain = len(exact & plain) / len(exact)
+    r_probed = len(exact & probed) / len(exact)
+    assert r_probed >= r_plain, (r_plain, r_probed)
+    assert r_probed > 0.2, r_probed
+
+
 def test_lsh_neardup_finds_planted_dups(emb, spark):
     # plant two exact-duplicate vectors; they hash to identical buckets in
     # every table, so recall of cos>=0.99 pairs is structural, not luck

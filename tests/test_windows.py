@@ -1,0 +1,120 @@
+"""Window-operator tests: turn ordering, salted aggregation, skew safety."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_caterer_spark.fixtures import generate_transcripts_df
+from data_caterer_spark.operators.windows import (
+    salted_conversation_stats,
+    stable_order,
+    with_conversation_stats,
+    with_turn_order_features,
+)
+
+
+@pytest.fixture(scope="module")
+def hot(spark):
+    # one pathological conversation with 100k turns among 50 normal ones
+    # (SURVEY.md §7.4: planted hot key)
+    return generate_transcripts_df(
+        spark, n_convs=50, hot_conv_turns=100_000, num_partitions=16
+    ).localCheckpoint()
+
+
+def test_turn_order_features_correct(spark):
+    df = generate_transcripts_df(spark, n_convs=40)
+    out = with_turn_order_features(df)
+    rows = sorted(
+        ((r["conv_id"], r["turn_idx"], r["prev_turn_idx"], r["turn_rank"])
+         for r in out.collect())
+    )
+    by_conv: dict[str, list] = {}
+    for conv, idx, prev, rank in rows:
+        by_conv.setdefault(conv, []).append((idx, prev, rank))
+    for conv, turns in by_conv.items():
+        turns.sort()
+        assert turns[0][1] is None  # first turn has no lag
+        assert [t[2] for t in turns] == list(range(1, len(turns) + 1))
+        for (i0, _, _), (i1, p1, _) in zip(turns, turns[1:]):
+            assert p1 == i0  # lag chains through sorted turn order
+
+
+def test_salted_stats_equal_plain_groupby(hot):
+    got = {
+        r["conv_id"]: (r["conv_len"], r["conv_min_idx"], r["conv_max_idx"])
+        for r in salted_conversation_stats(hot).collect()
+    }
+    want = {
+        r["conv_id"]: (r["n"], r["mn"], r["mx"])
+        for r in hot.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("turn_idx").alias("mn"),
+            F.max("turn_idx").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert got["CONVHOT00000001"][0] == 100_000
+
+
+def test_salted_partials_bounded(hot):
+    # the stage-1 partial aggregate spreads the hot conversation over the
+    # salt buckets: no single (conv, salt) group exceeds len/buckets
+    from data_caterer_spark.operators.windows import DEFAULT_SALT_BUCKETS
+
+    partial = hot.groupBy(
+        "conv_id", F.pmod(F.col("turn_idx"), F.lit(DEFAULT_SALT_BUCKETS)).alias("s")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mx = partial.where(F.col("conv_id") == "CONVHOT00000001").agg(
+        F.max("n")
+    ).first()[0]
+    assert mx <= 100_000 / DEFAULT_SALT_BUCKETS + 1
+
+
+def test_window_survives_hot_conversation(hot):
+    # streaming-frame lag/row_number over a 100k-turn conversation: must
+    # complete (sort-based, not buffered) and rank correctly at the tail
+    out = with_turn_order_features(hot)
+    tail = (
+        out.where(F.col("conv_id") == "CONVHOT00000001")
+        .orderBy(F.desc("turn_idx"))
+        .select("turn_idx", "turn_rank", "prev_turn_idx")
+        .limit(1)
+        .collect()[0]
+    )
+    assert tail["turn_rank"] == 100_000
+    assert tail["prev_turn_idx"] == tail["turn_idx"] - 1
+
+
+def test_with_conversation_stats_join(hot):
+    out = with_conversation_stats(hot)
+    r = out.where(F.col("conv_id") == "CONVHOT00000001").limit(1).collect()[0]
+    assert r["conv_len"] == 100_000
+    assert out.count() == hot.count()
+
+
+def test_stable_order_contiguous_and_sorted(spark):
+    df = generate_transcripts_df(spark, n_convs=30, num_partitions=7)
+    out = stable_order(df)
+
+    def check(it):
+        seen_done = set()
+        last = None
+        ok = True
+        for row in it:
+            key = (row["conv_id"], row["turn_idx"])
+            if last is not None and row["conv_id"] != last[0]:
+                if row["conv_id"] in seen_done:
+                    ok = False  # conversation split across partition runs
+                seen_done.add(last[0])
+            if last is not None and row["conv_id"] == last[0]:
+                if row["turn_idx"] < last[1]:
+                    ok = False
+            last = key
+        yield ok
+
+    flags = out.rdd.mapPartitions(check).collect()
+    assert all(flags)
