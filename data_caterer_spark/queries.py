@@ -48,6 +48,22 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input before compute-heavy per-row work.
+
+    The testdata tables are single parquet files -> single-partition scans;
+    signature/UDF-heavy operators would otherwise run on ONE core.  A
+    round-robin repartition of a small table is a cheap narrow shuffle; at
+    production scale the input is many files/buckets and this is a no-op
+    (guarded on the actual partition count).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ===========================================================================
 # §2.2 rule DSL: per-row predicates -> per-rule violation metrics
 # ===========================================================================
@@ -639,7 +655,7 @@ def _scrub_sql_chain() -> str:
 def scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential regex scrub chain — byte-equality against the oracle is
     the BASELINE scrub criterion applied to the documents table."""
-    df = _read(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    df = _fan_out(_read(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
     return scrub_columns(df, hits_col=None).select("doc_id", "scrubbed_text")
 
 
@@ -742,7 +758,7 @@ _SHINGLES_SQL = f"""
 )
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (inverted-index self-join)."""
-    df = _read(spark, sf_dir, "documents")
+    df = _fan_out(_read(spark, sf_dir, "documents"))
     return D.ngram_jaccard_pairs(df, k=3, threshold=0.6, max_block=None)
 
 
@@ -831,7 +847,7 @@ def langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     fastText deployment shape) — model inference has no SQL oracle."""
     from .functions.langid import with_language
 
-    df = _read(spark, sf_dir, "documents")
+    df = _fan_out(_read(spark, sf_dir, "documents"))
     return with_language(df).select(
         "doc_id", F.col("lang").alias("doc_lang"), F.round("lang_score", 6).alias("lang_score")
     )
@@ -842,7 +858,7 @@ def perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-trigram LM perplexity via broadcast-table pandas UDF."""
     from .functions.perplexity import with_perplexity
 
-    df = _read(spark, sf_dir, "documents")
+    df = _fan_out(_read(spark, sf_dir, "documents"))
     return with_perplexity(df).select("doc_id", F.round("ppl", 2).alias("ppl"))
 
 
@@ -850,21 +866,21 @@ def perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (probabilistic; recall vs the exact
     `ngram_jaccard_dups` is pinned in tests/test_dedup.py)."""
-    df = _read(spark, sf_dir, "documents")
+    df = _fan_out(_read(spark, sf_dir, "documents"))
     return D.minhash_lsh_pairs(df, threshold=0.5)
 
 
 @_q("simhash_dups")
 def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming<=3 near-dup pairs via chunk blocking."""
-    df = _read(spark, sf_dir, "documents")
+    df = _fan_out(_read(spark, sf_dir, "documents"))
     return D.simhash_pairs(df, max_hamming=3)
 
 
 @_q("lsh_knn_embeddings")
 def lsh_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate knn join via random-hyperplane LSH."""
-    df = _read(spark, sf_dir, "embeddings")
+    df = _fan_out(_read(spark, sf_dir, "embeddings"))
     dim = len(df.select("embedding").first()["embedding"])
     return SIM.lsh_knn_join(df, dim, k=3)
 
