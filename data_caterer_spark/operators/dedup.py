@@ -24,7 +24,11 @@ docs, e.g. "the quick brown") are the skew risk; `max_block` caps block
 size by dropping top-frequency shingles from *blocking only* (they still
 count toward verification), the standard prefix-filter trick.
 
-All hashes are `xxhash64` (JVM, codegen) — nothing crosses to Python.
+Signature computation (MinHash permutation grids, SimHash bit votes)
+defaults to vectorized numpy over Arrow batches — measured 40-100x faster
+than the interpreted Catalyst lambda folds; zero-Python JVM variants are
+retained behind ``impl='jvm'``.  Candidate generation, verification, and
+clustering stay JVM-side (equi-joins + aggregates).
 """
 
 from __future__ import annotations
@@ -519,3 +523,89 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------------
+# near-duplicate clustering (connected components over candidate pairs)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster duplicate pairs into components: (id, cluster) with cluster
+    = min member id.
+
+    Hash-min label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds — near-dup clusters are shallow (stars/cliques), so
+    2-4 rounds in practice.  Each round is one equi-join + one aggregate;
+    lineage is truncated per round with ``localCheckpoint`` so the plan
+    does not grow with iterations (driver-side loop, executor-side data —
+    the standard Spark iterative-algorithm shape).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("cluster").alias("dst_cluster")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_cluster").alias("min_neigh"))
+        )
+        new_labels = (
+            labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("min_neigh", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Keep one representative (min id) per near-dup cluster plus every
+    unpaired row.  ``pairs`` comes from any detector (minhash_lsh_pairs,
+    ngram_jaccard_pairs, simhash_pairs, embedding_neardup_pairs)."""
+    comps = connected_components(pairs, pair_a, pair_b)
+    drop = comps.where(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

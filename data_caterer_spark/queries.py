@@ -1081,3 +1081,37 @@ def generate_fk_consistent_tables(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("cust_id")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# ===========================================================================
+# near-duplicate clustering (connected components over verified pairs)
+# ===========================================================================
+
+
+@_q(
+    "neardup_clusters",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    posts AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh WHERE len(s) > 0),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / CAST(any_value(a.sz) + any_value(b.sz) - count(*) AS DOUBLE) >= 0.6
+    ),
+    edges(a, b) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact-Jaccard near-dup pairs: the
+    clustering step of large-scale dedup (hash-min label propagation;
+    oracle = DuckDB recursive-CTE transitive closure)."""
+    df = _fan_out(_read(spark, sf_dir, "documents"))
+    pairs = D.ngram_jaccard_pairs(df, k=3, threshold=0.6, max_block=None)
+    return D.connected_components(pairs)

@@ -98,3 +98,39 @@ def test_simhash_pairs_on_fixture(spark, sf_dir):
     exact_ids = {(r["id_a"], r["id_b"]) for r in exact}
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert exact_ids <= got
+
+
+def test_connected_components_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster"] for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_drop_near_duplicates_keeps_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(1, 11)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in D.drop_near_duplicates(docs, pairs).collect()
+    )
+    # clusters {1,2,3} -> keep 1; {8,9} -> keep 8; everything unpaired stays
+    assert kept == [1, 4, 5, 6, 7, 8, 10]
+
+
+def test_end_to_end_near_dedup(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8, max_block=None)
+    kept = D.drop_near_duplicates(docs, pairs)
+    n_pairs_members = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .count()
+    )
+    n_clusters = D.connected_components(pairs).select("cluster").distinct().count()
+    assert kept.count() == docs.count() - (n_pairs_members - n_clusters)
