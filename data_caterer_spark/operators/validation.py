@@ -224,3 +224,52 @@ def validate_upstream(
         df, upstream, upstream_name, join_cols, join_expr, join_type
     )
     return validate_expression(joined, rule, num_sample_errors)
+
+
+@dataclass
+class UpstreamSpec:
+    """One level of upstream joining; ``nested`` recurses — the reference's
+    upstream-validation-inside-upstream-validation
+    (``ValidationOperations.scala:62-67``, example
+    ``PlanProcessorTest.scala:247-253``)."""
+
+    upstream: DataFrame
+    name: str
+    join_cols: Sequence[str] | None = None
+    join_expr: str | None = None
+    join_type: str = UPSTREAM_JOIN_DEFAULT
+    broadcast: bool = False
+    nested: "UpstreamSpec | None" = None
+
+
+def apply_upstream_chain(df: DataFrame, spec: UpstreamSpec) -> DataFrame:
+    """Fold a (possibly nested) chain of upstream joins onto ``df``.
+
+    Each level prefixes the upstream's non-join columns with its name, so
+    a two-deep chain yields ``a_b_col``-style columns exactly like the
+    reference's recursive rename-then-join."""
+    joined = upstream_join(
+        df,
+        spec.upstream
+        if spec.nested is None
+        else apply_upstream_chain(spec.upstream, spec.nested),
+        spec.name,
+        spec.join_cols,
+        spec.join_expr,
+        spec.join_type,
+        broadcast_upstream=spec.broadcast,
+    )
+    return joined
+
+
+def validate_upstream_nested(
+    df: DataFrame,
+    spec: UpstreamSpec,
+    rule: Rule,
+    num_sample_errors: int = 5,
+) -> ValidationResult:
+    """Nested upstream validation: join the whole chain, then apply the
+    rule to the flattened result."""
+    return validate_expression(
+        apply_upstream_chain(df, spec), rule, num_sample_errors
+    )

@@ -167,3 +167,42 @@ def test_upstream_expr_join(transactions, accounts):
         join_type="inner",
     )
     assert joined.count() == 4
+
+
+def test_nested_upstream_validation(spark, sf_dir):
+    """Two-deep upstream chain: orders -> customer -> nation (reference
+    nested-upstream pattern, ValidationOperations.scala:62-67)."""
+    from data_caterer_spark.operators.rules import expr_rule
+    from data_caterer_spark.operators.validation import (
+        UpstreamSpec,
+        apply_upstream_chain,
+        validate_upstream_nested,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    spec = UpstreamSpec(
+        upstream=customer.withColumnRenamed("c_custkey", "o_custkey"),
+        name="cust",
+        join_cols=["o_custkey"],
+        join_type="left",
+        broadcast=True,
+        nested=UpstreamSpec(
+            upstream=nation.withColumnRenamed("n_nationkey", "c_nationkey"),
+            name="nat",
+            join_cols=["c_nationkey"],
+            join_type="left",
+            broadcast=True,
+        ),
+    )
+    flat = apply_upstream_chain(orders, spec)
+    # both levels' prefixed columns exist on the flattened frame
+    assert "cust_c_name" in flat.columns
+    assert "cust_nat_n_name" in flat.columns
+    res = validate_upstream_nested(
+        orders,
+        spec,
+        expr_rule("nation_resolved", "ISNOTNULL(cust_nat_n_name)"),
+    )
+    assert res.is_success, res
