@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from data_caterer_spark.queries import ORACLES, QUERIES  # noqa: E402
+from data_caterer_spark.queries import QUERIES, resolve_oracles  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -33,4 +33,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return resolve_oracles()

@@ -31,10 +31,13 @@ from .operators.validation import group_by_validation_df, prefix_upstream
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+# values are SQL strings, or zero-arg callables rendering SQL lazily
+# (the flagship golden oracle runs the reference labeler to build its
+# VALUES literal — too costly for import time)
+ORACLES: dict[str, "str | Callable[[], str]"] = {}
 
 
-def _q(name: str, oracle: str | None = None):
+def _q(name: str, oracle: "str | Callable[[], str] | None" = None):
     def reg(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
@@ -42,6 +45,11 @@ def _q(name: str, oracle: str | None = None):
         return fn
 
     return reg
+
+
+def resolve_oracles() -> dict[str, str]:
+    """Materialize every oracle to a plain SQL string (driver contract)."""
+    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -895,18 +903,36 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(media)
 
 
-@_q("transcript_quality_filter")
+def _transcript_golden_oracle() -> str:
+    from .golden import transcript_golden_sql
+
+    return transcript_golden_sql(n_convs=200, seed=42)
+
+
+@_q("transcript_quality_filter", _transcript_golden_oracle)
 def transcript_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship BASELINE pipeline over the deterministically synthesized
     transcripts fixture: langid + perplexity + heuristic rules + scrub.
-    Golden-label parity is pinned by tests/test_parity.py (labeler)."""
+
+    The oracle is the single-threaded reference labeler's output rendered
+    as a VALUES literal (``golden.py``) — the driver hash-compares the
+    distributed plan against the sequential reference implementation, which
+    IS the BASELINE F1/byte-equality criterion.  ``rule_hits`` is emitted
+    '|'-joined (hit order is part of the spec: heuristic bank order then
+    scrub bank order) and scrubbed text as its md5 so every column is
+    hashable and compact.
+    """
     from .fixtures import generate_transcripts_df
     from .plans.pipeline import QualityFilterPipeline
 
     df = generate_transcripts_df(spark, n_convs=200, num_partitions=8)
     out = QualityFilterPipeline().run(df)
     return out.select(
-        "conv_id", "turn_idx", "keep", "rule_hits", "scrubbed_text"
+        "conv_id",
+        "turn_idx",
+        "keep",
+        F.array_join("rule_hits", "|").alias("rule_hits"),
+        F.md5(F.col("scrubbed_text").cast("binary")).alias("scrub_md5"),
     )
 
 

@@ -66,8 +66,9 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
+    sql = ORACLES[name]() if callable(ORACLES[name]) else ORACLES[name]
     got, got_cols = _spark_rows(QUERIES[name](spark, sf_dir))
-    want, want_cols = _duck_rows(duck, ORACLES[name])
+    want, want_cols = _duck_rows(duck, sql)
     assert got_cols == want_cols, f"{name}: columns {got_cols} != {want_cols}"
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
     mism = [(a, b) for a, b in zip(got, want) if a != b][:5]
