@@ -52,10 +52,20 @@ EDGE_CASES: dict[str, list[Any]] = {
 
 @dataclass
 class FieldSpec:
-    """One generated field (reference: PlanModels.scala:65-81)."""
+    """One generated field (reference: PlanModels.scala:65-81).
+
+    Generator kinds cover the reference's full surface
+    (``random|oneOf|regex|sql``, api Constants.scala:145-148) plus its
+    typed emissions: decimal(p,s) (``DataType.scala:54-62``), binary
+    (``RandomDataGenerator.scala:253-255``), nested structs
+    (``:307-320``), and normal-distribution numerics (``:368-375`` —
+    RANDN when stddev/mean are both set).
+    """
 
     name: str
-    type: str = "string"  # int|long|double|string|date|timestamp|boolean|oneOf|array
+    # int|long|short|double|string|date|timestamp|boolean|oneOf|array
+    # |decimal|binary|struct
+    type: str = "string"
     min: Any = 0
     max: Any = 100
     min_len: int = 5
@@ -70,6 +80,12 @@ class FieldSpec:
     static: Any = None
     sql: str | None = None  # dependent expression over sibling fields
     decimals: int = 4  # rounding for double
+    regex: str | None = None  # regex generator (bounded subset -> pure SQL)
+    fields: "Sequence[FieldSpec] | None" = None  # struct subfields
+    precision: int = 10  # decimal(p,s)
+    scale: int = 2
+    stddev: float | None = None  # normal distribution (with mean)
+    mean: float | None = None
 
 
 def _rand(seed: int | None) -> str:
@@ -90,6 +106,28 @@ def field_sql(spec: FieldSpec) -> str:
         return repr(spec.static)
     if spec.sql is not None:
         return spec.sql
+    if spec.regex is not None or t == "regex":
+        from .regexgen import regex_sql
+
+        if not spec.regex:
+            raise ValueError(
+                f"field {spec.name}: regex generator requires a pattern "
+                "(reference: InvalidDataGeneratorConfigurationException)"
+            )
+        return regex_sql(spec.regex, seed=spec.seed)
+    if t == "struct":
+        if not spec.fields:
+            raise ValueError(f"field {spec.name}: struct requires subfields")
+        parts = []
+        for i, sub in enumerate(spec.fields):
+            if sub.seed is None and spec.seed is not None:
+                from dataclasses import replace
+
+                sub = replace(sub, seed=spec.seed + 31 * (i + 1))
+            # recursive NAMED_STRUCT emission (RandomDataGenerator.scala:
+            # 307-320) — subfields keep their own null/edge wrapping
+            parts.append(f"'{sub.name}', {wrapped_field_sql(sub)}")
+        return f"NAMED_STRUCT({', '.join(parts)})"
     if spec.one_of is not None or t == "oneOf":
         vals = list(spec.one_of or [])
         rendered = ", ".join(
@@ -97,18 +135,43 @@ def field_sql(spec: FieldSpec) -> str:
             for v in vals
         )
         return f"ELEMENT_AT(ARRAY({rendered}), CAST({r} * {len(vals)} AS INT) + 1)"
-    if t in ("int", "integer"):
-        diff = spec.max - spec.min
-        return f"CAST(ROUND({r} * {diff} + {spec.min}, 0) AS INT)"
-    if t == "long":
-        diff = spec.max - spec.min
-        return f"CAST(ROUND({r} * {diff} + {spec.min}, 0) AS LONG)"
-    if t == "short":
-        diff = spec.max - spec.min
-        return f"CAST(ROUND({r} * {diff} + {spec.min}, 0) AS SHORT)"
-    if t == "double":
-        diff = spec.max - spec.min
-        return f"ROUND({r} * {diff} + {spec.min}, {spec.decimals})"
+    if t in ("int", "integer", "long", "short", "double", "decimal"):
+        if spec.stddev is not None and spec.mean is not None:
+            # normal distribution: RANDN * stddev + mean
+            # (RandomDataGenerator.scala:368-375 — sqlRand RAND -> RANDN)
+            rn = f"RANDN({spec.seed})" if spec.seed is not None else "RANDN()"
+            base = f"{rn} * {spec.stddev} + {spec.mean}"
+        else:
+            diff = spec.max - spec.min
+            base = f"{r} * {diff} + {spec.min}"
+        if t in ("int", "integer"):
+            return f"CAST(ROUND({base}, 0) AS INT)"
+        if t == "long":
+            return f"CAST(ROUND({base}, 0) AS LONG)"
+        if t == "short":
+            return f"CAST(ROUND({base}, 0) AS SHORT)"
+        if t == "decimal":
+            if spec.scale >= spec.precision:
+                raise ValueError(
+                    f"field {spec.name}: scale must be < precision "
+                    "(reference DataType.scala:54-62)"
+                )
+            return (
+                f"CAST(ROUND({base}, {spec.scale}) "
+                f"AS DECIMAL({spec.precision}, {spec.scale}))"
+            )
+        return f"ROUND({base}, {spec.decimals})"
+    if t == "binary":
+        # printable-ASCII random bytes, exact reference emission shape
+        # (RandomDataGenerator.scala:253-255: TO_BINARY(ARRAY_JOIN(
+        #  TRANSFORM(ARRAY_REPEAT(...)), ...), 'utf-8'))
+        n_expr = (
+            f"CAST({r} * {spec.max_len - spec.min_len} + {spec.min_len} AS INT)"
+        )
+        return (
+            f"TO_BINARY(ARRAY_JOIN(TRANSFORM(ARRAY_REPEAT(1, {n_expr}), "
+            f"i -> CHAR(ROUND({_rand(spec.seed)} * 94 + 32, 0))), ''), 'utf-8')"
+        )
     if t == "string":
         # random-length alphanumeric, vectorized (no UDF)
         len_expr = (
@@ -233,23 +296,135 @@ def enforce_unique(
     return out
 
 
+def with_distributed_ordinal(df: DataFrame, out_col: str = "__ord") -> DataFrame:
+    """Dense 0..n-1 ordinal with NO global window and NO single-partition
+    funnel — the DataFrame analog of RDD ``zipWithIndex``
+    (``ForeignKeyUtil.scala:242-252``):
+
+    1. one tiny job counts rows per partition (num-partitions rows to the
+       driver),
+    2. the ordinal is ``offset[partition] + position-within-partition``,
+       where position comes from the low 33 bits of
+       ``monotonically_increasing_id`` (its documented layout: partition
+       id in the high bits, a per-partition counter in the low 33) — a
+       purely narrow, codegen'd projection.
+
+    Requires a deterministically-partitioned input (a scan, ``spark.range``,
+    or any deterministic lineage): partition COUNTS must match between the
+    count job and the consuming job.  Within-partition order may differ —
+    that permutes ordinals within a partition but keeps them dense+unique.
+    """
+    counts = (
+        df.select(F.spark_partition_id().alias("__pid"))
+        .groupBy("__pid")
+        .count()
+        .collect()
+    )
+    by_pid = {r["__pid"]: r["count"] for r in counts}
+    max_pid = max(by_pid, default=-1)
+    offsets, acc = [], 0
+    for pid in range(max_pid + 1):
+        offsets.append(acc)
+        acc += by_pid.get(pid, 0)
+    offset_arr = F.array(*[F.lit(o).cast("long") for o in offsets]) if offsets else F.array()
+    mid = F.monotonically_increasing_id()
+    pid = F.shiftright(mid, 33)
+    pos = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    return df.withColumn(
+        out_col, F.element_at(offset_arr, (pid + 1).cast("int")) + pos
+    )
+
+
 def assign_foreign_key(
     target: DataFrame,
     source: DataFrame,
-    source_col: str,
-    target_col: str,
+    source_col: str | Sequence[str],
+    target_col: str | Sequence[str],
 ) -> DataFrame:
     """Overwrite ``target_col`` with values drawn from the source key set
     by ORDINAL join — the reference's skew-free zipWithIndex trick
-    (``ForeignKeyUtil.scala:114-151, 242-252``) as a row_number join:
-    distinct source keys get ordinals, target rows get ordinals modulo the
-    key count, equi-join on the ordinal.  No value-skew because the join
-    key is the dense ordinal, never the (possibly hot) FK value."""
-    keys = source.select(F.col(source_col).alias("__fk_val")).distinct()
+    (``ForeignKeyUtil.scala:114-151, 242-252``).  Both ordinals come from
+    :func:`with_distributed_ordinal` (per-partition offsets — no global
+    window, no single-partition exchange); the equi-join key is the dense
+    ordinal, never the (possibly hot) FK value, so no value skew.
+
+    ``source_col``/``target_col`` accept column LISTS for composite keys
+    (the reference's FK fields are lists, ``ForeignKeyUtil.scala:114-151``);
+    the composite values travel together through one ordinal join.
+    """
+    src_cols = [source_col] if isinstance(source_col, str) else list(source_col)
+    tgt_cols = [target_col] if isinstance(target_col, str) else list(target_col)
+    if len(src_cols) != len(tgt_cols):
+        raise ValueError("source_col/target_col arity mismatch")
+    vals = [f"__fk_val{i}" for i in range(len(src_cols))]
+    keys = source.select(
+        *[F.col(s).alias(v) for s, v in zip(src_cols, vals)]
+    ).distinct()
+    # pin the distinct output before counting: ordinal assignment and the
+    # join must see identical partition counts
+    keys = keys.sortWithinPartitions(*vals)
     n = keys.count()
-    w_k = Window.orderBy("__fk_val")
-    keys = keys.withColumn("__ord", F.row_number().over(w_k) - 1)
-    w_t = Window.orderBy(F.monotonically_increasing_id())
-    tgt = target.withColumn("__ord", F.pmod(F.row_number().over(w_t) - 1, F.lit(n)))
+    if n == 0:
+        raise ValueError(
+            "assign_foreign_key: source key set is empty — every target "
+            "row would get a NULL foreign key"
+        )
+    keys = with_distributed_ordinal(keys, "__ord")
+    tgt = with_distributed_ordinal(target, "__ord").withColumn(
+        "__ord", F.pmod(F.col("__ord"), F.lit(n))
+    )
     out = tgt.join(F.broadcast(keys), "__ord", "left")
-    return out.withColumn(target_col, F.col("__fk_val")).drop("__ord", "__fk_val")
+    for t, v in zip(tgt_cols, vals):
+        out = out.withColumn(t, F.col(v))
+    return out.drop("__ord", *vals)
+
+
+def foreign_key_insert_order(
+    relationships: Sequence[tuple[str, str]]
+) -> list[str]:
+    """Topological insert order over (source_table, target_table) FK pairs
+    — sources (referenced tables) first, as the reference computes for
+    multi-table generation (``ForeignKeyUtil.scala:190-204``).  Stable:
+    ties resolve in first-seen order.  Raises on cycles.
+    """
+    order: list[str] = []
+    deps: dict[str, set[str]] = {}
+    seen: list[str] = []
+    for src, tgt in relationships:
+        for t in (src, tgt):
+            if t not in deps:
+                deps[t] = set()
+                seen.append(t)
+        deps[tgt].add(src)
+    remaining = dict(deps)
+    while remaining:
+        ready = [t for t in seen if t in remaining and not (remaining[t] & remaining.keys())]
+        if not ready:
+            raise ValueError(f"foreign-key cycle among: {sorted(remaining)}")
+        for t in ready:
+            order.append(t)
+            del remaining[t]
+    return order
+
+
+def apply_foreign_keys(
+    tables: dict[str, DataFrame],
+    foreign_keys: Sequence[tuple[str, "str | Sequence[str]", str, "str | Sequence[str]"]],
+) -> tuple[dict[str, DataFrame], list[str]]:
+    """Multi-table FK orchestration: resolve the insert order, then assign
+    each (source_table, source_cols, target_table, target_cols) FK in that
+    order so chained references (A <- B <- C) see already-consistent
+    parents.  Returns (updated tables, insert order).
+    """
+    order = foreign_key_insert_order(
+        [(src, tgt) for src, _sc, tgt, _tc in foreign_keys]
+    )
+    out = dict(tables)
+    for tname in order:
+        for src, src_cols, tgt, tgt_cols in foreign_keys:
+            if tgt != tname:
+                continue
+            out[tgt] = assign_foreign_key(
+                out[tgt], out[src], src_cols, tgt_cols
+            )
+    return out, order

@@ -1063,19 +1063,78 @@ def generate_seeded_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         FieldSpec("opened", "date", min="2015-01-01", max="2024-12-31", seed=45),
         FieldSpec("year", sql="YEAR(opened)"),
         FieldSpec("is_rich", sql="balance > 9000"),
+        # typed surface: decimal(p,s), regex id, normal-dist numeric,
+        # recursive struct (json-account-task.yaml nesting analog)
+        FieldSpec("fee", "decimal", precision=8, scale=2, min=0, max=500, seed=46),
+        FieldSpec("ref_code", regex="ACC100[0-9]{5}", seed=47),
+        FieldSpec("score", "double", stddev=5.0, mean=100.0, seed=48),
+        FieldSpec(
+            "details",
+            "struct",
+            seed=49,
+            fields=[
+                FieldSpec("tier", one_of=["gold", "silver"]),
+                FieldSpec("limits", "struct", fields=[
+                    FieldSpec("daily", "int", min=100, max=999),
+                ]),
+            ],
+        ),
     ]
     return generate(spark, fields, 1000, num_partitions=4)
 
 
-@_q("generate_fk_consistent_tables")
+@_q(
+    "generate_regex_fields",
+    """
+    SELECT CAST(1000 AS BIGINT) AS total,
+           CAST(1000 AS BIGINT) AS acct_ok,
+           CAST(1000 AS BIGINT) AS code_ok,
+           CAST(1000 AS BIGINT) AS iban_ok
+    """,
+)
+def generate_regex_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-driven generation (RegexDataGenerator.scala:27-29 reframed as
+    compiled Catalyst SQL, operators/regexgen.py).  The oracle checks the
+    generator's INVARIANT — every generated value matches its pattern —
+    which is deterministic even though the values are seeded-random."""
+    from .operators.generator import FieldSpec, generate
+
+    pats = {
+        "acct": "ACC100[0-9]{5}",
+        "code": "[A-Z]{2}-[0-9]{4}(A|B|C)?",
+        "iban": "DE[0-9]{2} [0-9]{4} [0-9]{4}",
+    }
+    fields = [
+        FieldSpec(name, regex=p, seed=50 + i)
+        for i, (name, p) in enumerate(pats.items())
+    ]
+    df = generate(spark, fields, 1000, num_partitions=4)
+    return df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_if(F.col("acct").rlike(f"^{pats['acct']}$")).alias("acct_ok"),
+        F.count_if(F.col("code").rlike(f"^{pats['code']}$")).alias("code_ok"),
+        F.count_if(F.col("iban").rlike(f"^{pats['iban']}$")).alias("iban_ok"),
+    )
+
+
+@_q(
+    "generate_fk_consistent_tables",
+    """
+    SELECT CAST(600 AS BIGINT) AS total_orders,
+           CAST(600 AS BIGINT) AS resolved,
+           CAST(0 AS BIGINT) AS orphans,
+           'customers,orders' AS insert_order
+    """,
+)
 def generate_fk_consistent_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table generation with FK consistency via ordinal assignment
-    (ForeignKeyUtil semantics) + per-column-count explode + unique
-    enforcement; returns per-customer order counts as the verifiable
-    artifact (every order's FK must resolve)."""
+    """Multi-table generation with FK consistency: distributed-ordinal FK
+    assignment (no global window — ForeignKeyUtil zipWithIndex semantics),
+    toposorted insert order, per-column-count explode, unique enforcement.
+    The oracle checks the FK INVARIANT — every order resolves, zero
+    orphans — deterministic regardless of the seeded-random key values."""
     from .operators.generator import (
         FieldSpec,
-        assign_foreign_key,
+        apply_foreign_keys,
         enforce_unique,
         generate,
         per_column_count,
@@ -1101,11 +1160,18 @@ def generate_fk_consistent_tables(spark: SparkSession, sf_dir: str) -> DataFrame
         num_partitions=2,
     )
     orders = per_column_count(orders, 2)
-    orders = assign_foreign_key(orders, customers, "cust_id", "cust_id")
+    tables, order = apply_foreign_keys(
+        {"customers": customers, "orders": orders},
+        [("customers", "cust_id", "orders", "cust_id")],
+    )
+    orders = tables["orders"]
+    resolved = orders.join(tables["customers"], "cust_id", "left_semi")
+    orphans = orders.join(tables["customers"], "cust_id", "left_anti")
     return (
-        orders.join(customers, "cust_id", "inner")
-        .groupBy("cust_id")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        orders.agg(F.count(F.lit(1)).alias("total_orders"))
+        .crossJoin(resolved.agg(F.count(F.lit(1)).alias("resolved")))
+        .crossJoin(orphans.agg(F.count(F.lit(1)).alias("orphans")))
+        .withColumn("insert_order", F.lit(",".join(order)))
     )
 
 
