@@ -84,10 +84,67 @@ def run_pipeline(spark) -> tuple[float, int]:
     return time.time() - t0, n_turns
 
 
+def run_scaling(n: int = 4, repeats: int = 2) -> dict | None:
+    """Two-cluster-size evidence (BASELINE: efficiency >= 0.8 from N to 4N
+    executors).  No real cluster in this sandbox, so the same job runs at
+    two parallelism levels — taskset-pinned local[N] vs local[4N] in fresh
+    JVMs — on identical input; configs are interleaved and each keeps its
+    best trial (co-tenant noise on this box varies runs up to 3x).
+    Efficiency = rate(4N) / (4 * rate(N))."""
+    import shutil
+    import subprocess
+
+    if shutil.which("taskset") is None:
+        return None
+    repo = os.path.dirname(os.path.abspath(__file__))
+    best: dict[int, float] = {}
+    t_start = time.time()
+    for it in range(repeats):
+        # wall-clock budget: one interleaved pair is enough evidence if
+        # the box is slow today
+        if it > 0 and time.time() - t_start > 240:
+            break
+        for cpus in (n, n * 4):
+            env = dict(os.environ)
+            env["SPARK_GRAFT_CPUS"] = str(cpus)
+            env.setdefault("SPARK_GRAFT_BENCH_CONVS", str(PIPELINE_CONVS))
+            cmd = [
+                "taskset", "-c", f"0-{cpus - 1}",
+                sys.executable, os.path.join(repo, "bench.py"),
+                "--job", "pipeline",
+            ]
+            try:
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True, env=env, cwd=repo,
+                    timeout=1800, check=True,
+                )
+            except (subprocess.SubprocessError, OSError):
+                return None
+            line = [
+                l for l in out.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            rate = json.loads(line)["pipeline_turns_per_sec"]
+            best[cpus] = max(best.get(cpus, 0.0), rate)
+    eff = best[n * 4] / (4.0 * best[n])
+    return {
+        "protocol": "taskset-pinned, interleaved, best-of-%d" % repeats,
+        "cpus_n": n,
+        "cpus_4n": n * 4,
+        "turns_per_sec_n": round(best[n], 1),
+        "turns_per_sec_4n": round(best[n * 4], 1),
+        "efficiency": round(eff, 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--job", default="all", choices=["all", "pipeline"])
     args = ap.parse_args()
+
+    # scaling subprocesses run FIRST (before this process pins 32 cores)
+    scaling = None
+    if args.job == "all" and os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        scaling = run_scaling()
 
     from data_caterer_spark.config import get_spark
     from data_caterer_spark.queries import QUERIES
@@ -112,20 +169,19 @@ def main() -> None:
             timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": CPUS,
-                "pipeline_turns": n_turns,
-                "pipeline_turns_per_sec": round(n_turns / pipe_sec, 1),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "pipeline_turns": n_turns,
+        "pipeline_turns_per_sec": round(n_turns / pipe_sec, 1),
+    }
+    if scaling is not None:
+        result["scaling"] = scaling
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -136,12 +136,16 @@ def ngram_jaccard_pairs(
 
     Plan: explode distinct shingles -> self equi-join on shingle (blocking)
     -> count shared shingles per pair -> join per-doc set sizes -> Jaccard.
-    Exact (oracle-able in plain SQL).  ``max_block`` drops shingles whose
-    posting list exceeds the cap from *blocking* — at web scale a stopword
-    shingle would otherwise create a quadratic block; dropping it from
-    blocking can only lose pairs whose every shared shingle is that common,
-    which a frequency cap this high makes negligible (and the verify step
-    still computes the TRUE Jaccard, so no false positives ever).
+
+    ``max_block`` (the web-scale guard): shingles whose posting list
+    exceeds the cap are dropped from CANDIDATE BLOCKING only — a stopword
+    shingle would otherwise create a quadratic join block.  Every
+    discovered candidate pair is then re-verified against the FULL posting
+    lists, so the reported Jaccard is always the TRUE Jaccard (no
+    underestimation from the dropped shingles, no false positives).  The
+    cap is a recall-only approximation: the only possible misses are pairs
+    whose EVERY shared shingle occurs in > max_block documents — on clean
+    corpora such pairs are far below any useful threshold.
     """
     sh = (
         df.select(
@@ -151,29 +155,69 @@ def ngram_jaccard_pairs(
         .withColumn("__set_size", F.size("__sh"))
         .where(F.col("__set_size") > 0)
     )
-    posts = sh.select("id", "__set_size", F.explode("__sh").alias("shingle"))
-    if max_block is not None:
-        freq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        posts = (
-            posts.join(freq.where(F.col("__df") <= max_block), "shingle")
-            .drop("__df")
+    # shingle STRINGS never leave the scan stage: every join/groupBy key is
+    # the xxhash64 of the shingle (8-byte longs shuffle ~5-10x fewer bytes
+    # than k-word strings; a hash collision would need ~2^32 distinct
+    # shingles per doc pair to matter)
+    posts = sh.select(
+        "id",
+        "__set_size",
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("sh"),
+    )
+    if max_block is None:
+        # exact path: block on every shingle; the block join itself counts
+        # the intersection
+        a = posts.select(
+            "sh",
+            F.col("id").alias("id_a"),
+            F.col("__set_size").alias("size_a"),
         )
-    a = posts.select(
-        F.col("shingle"),
-        F.col("id").alias("id_a"),
-        F.col("__set_size").alias("size_a"),
-    )
-    b = posts.select(
-        F.col("shingle"),
-        F.col("id").alias("id_b"),
-        F.col("__set_size").alias("size_b"),
-    )
-    pairs = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+        b = posts.select(
+            "sh",
+            F.col("id").alias("id_b"),
+            F.col("__set_size").alias("size_b"),
+        )
+        pairs = (
+            a.join(b, "sh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "size_a", "size_b")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+    else:
+        # postings feed four branches (frequency, blocking, two
+        # verification sides): persist so tokenize+explode runs once — the
+        # production analog is a materialized inverted index
+        posts = posts.persist()
+        freq = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        rare = posts.join(
+            freq.where(F.col("__df") <= max_block), "sh"
+        ).select("id", "sh")
+        cand = (
+            rare.select("sh", F.col("id").alias("id_a"))
+            .join(rare.select("sh", F.col("id").alias("id_b")), "sh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        # exact re-verification: true intersection over FULL posting lists,
+        # restricted to the candidate ids (candidates are few; this join
+        # fans out by |shingles(a)| per pair, not by block size)
+        pa = posts.select(F.col("id").alias("id_a"), "sh")
+        pb = posts.select(F.col("id").alias("id_b"), "sh")
+        inter = (
+            cand.join(pa, "id_a")
+            .join(pb, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+        )
+        sizes = sh.select("id", "__set_size")
+        pairs = inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("__set_size").alias("size_a")),
+            "id_a",
+        ).join(
+            sizes.select(F.col("id").alias("id_b"), F.col("__set_size").alias("size_b")),
+            "id_b",
+        )
     jac = F.col("__inter") / (
         F.col("size_a") + F.col("size_b") - F.col("__inter")
     )
@@ -315,9 +359,17 @@ def minhash_lsh_pairs(
         k=k,
         seed=seed,
     ).select("id", "__sig")
+    # the signature column feeds three plan branches (banding + both sides
+    # of the verification re-join); persist AND populate eagerly — three
+    # branches racing an empty cache would each run the Arrow UDF.  The
+    # production analog is checkpointing signatures to the warehouse.
+    sig = sig.persist()
+    sig.count()
+    # banding join carries (band, bh, id) ONLY — never the 64-long
+    # signature payload (x16 bands x both sides ≈ 5-10x shuffle bytes);
+    # signatures re-join AFTER candidate dedup, shuffled once per side
     banded = sig.select(
         "id",
-        "__sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -335,18 +387,21 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("__b"),
-    ).select("id", "__sig", F.col("__b.band").alias("band"), F.col("__b.bh").alias("bh"))
-    a = banded.select(
-        "band", "bh", F.col("id").alias("id_a"), F.col("__sig").alias("__sig_a")
-    )
-    b = banded.select(
-        "band", "bh", F.col("id").alias("id_b"), F.col("__sig").alias("__sig_b")
-    )
+    ).select("id", F.col("__b.band").alias("band"), F.col("__b.bh").alias("bh"))
+    a = banded.select("band", "bh", F.col("id").alias("id_a"))
+    b = banded.select("band", "bh", F.col("id").alias("id_b"))
     cand = (
         a.join(b, ["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sig_a", "__sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.join(
+        sig.select(F.col("id").alias("id_a"), F.col("__sig").alias("__sig_a")),
+        "id_a",
+    ).join(
+        sig.select(F.col("id").alias("id_b"), F.col("__sig").alias("__sig_b")),
+        "id_b",
     )
     est = (
         F.size(
@@ -530,6 +585,21 @@ def simhash_pairs(
 # --------------------------------------------------------------------------
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize and cut lineage for an iterative-loop round.
+
+    Uses RELIABLE checkpointing whenever a checkpoint dir is configured
+    (``spark.sparkContext.setCheckpointDir`` — on a real cluster that is
+    HDFS/S3, so losing an executor after round k re-reads round-k labels
+    instead of failing an unrecoverable lineage).  ``localCheckpoint``
+    (executor-local blocks, NOT fault-tolerant) is only the small-job
+    fallback when no dir is set.
+    """
+    sc = df.sparkSession.sparkContext
+    has_dir = not sc._jsc.sc().getCheckpointDir().isEmpty()
+    return df.checkpoint(eager=True) if has_dir else df.localCheckpoint()
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -542,26 +612,26 @@ def connected_components(
     Hash-min label propagation: every node repeatedly adopts the smallest
     label among itself and its neighbors; converges in O(component
     diameter) rounds — near-dup clusters are shallow (stars/cliques), so
-    2-4 rounds in practice.  Each round is one equi-join + one aggregate;
-    lineage is truncated per round with ``localCheckpoint`` so the plan
-    does not grow with iterations (driver-side loop, executor-side data —
-    the standard Spark iterative-algorithm shape).
+    2-4 rounds in practice.  Each round is ONE job: the join + label
+    update materializes through :func:`_truncate_lineage` (reliable
+    checkpoint on clusters, see above) and the convergence signal rides
+    the same action as an ``observe`` sum of per-row changed flags — no
+    separate old-vs-new comparison job.
     """
+    from pyspark.sql import Observation
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = (
+    edges = _truncate_lineage(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint()
+        ).distinct()
     )
-    labels = (
+    labels = _truncate_lineage(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
-        .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neigh = (
             edges.join(
                 labels.select(
@@ -572,24 +642,26 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dst_cluster").alias("min_neigh"))
         )
-        new_labels = (
+        obs = Observation(f"cc_round_{i}")
+        new_labels = _truncate_lineage(
             labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("cluster"), F.coalesce("min_neigh", F.col("cluster"))
-                ).alias("cluster"),
+                ).alias("new_cluster"),
+                F.col("cluster").alias("old_cluster"),
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
+            .observe(
+                obs,
+                F.count_if(
+                    F.col("new_cluster") != F.col("old_cluster")
+                ).alias("changed"),
+            )
+            .select("id", F.col("new_cluster").alias("cluster"))
         )
         labels = new_labels
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
     return labels
 

@@ -238,19 +238,40 @@ def wrapped_field_sql(spec: FieldSpec) -> str:
     return expr
 
 
+def draw_count(
+    count_min: int, count_max: int, seed: int | None = None
+) -> int:
+    """Generator-driven record count: one deterministic draw in
+    [count_min, count_max] (the reference's ``Count``-with-generator,
+    ``PlanModels.scala:53-63`` — its count generator is evaluated once on
+    the driver per batch, ``RecordCountUtil``).  A seeded splitmix64 step
+    keeps the draw reproducible without an RNG object."""
+    if count_min > count_max:
+        raise ValueError("count_min must be <= count_max")
+    state = ((seed if seed is not None else 0x9E3779B9) * 6364136223846793005
+             + 1442695040888963407) % (1 << 64)
+    return count_min + state % (count_max - count_min + 1)
+
+
 def generate(
     spark: SparkSession,
     fields: Sequence[FieldSpec],
-    count: int,
+    count: "int | tuple[int, int]",
     num_partitions: int | None = None,
+    count_seed: int | None = None,
 ) -> DataFrame:
     """Materialize ``count`` rows over a ``spark.range`` index.
+
+    ``count`` may be a (min, max) tuple — the generator-driven Count
+    surface: the total is drawn via :func:`draw_count`.
 
     Independent fields evaluate in one ``selectExpr``-style projection;
     ``sql``-dependent fields are applied afterwards IN LIST ORDER, each
     able to reference any earlier field (explicit staging instead of the
     reference's run-twice hack, ``GeneratorUtil.scala:56-77``).
     """
+    if isinstance(count, tuple):
+        count = draw_count(count[0], count[1], count_seed)
     rng = spark.range(0, count, 1, num_partitions) if num_partitions else spark.range(count)
     df = rng.withColumnRenamed("id", "__index_inc")
     independent = {
@@ -268,13 +289,16 @@ def per_column_count(
     records_per_value: int,
     rand_seed: int | None = None,
     vary: bool = False,
+    records_min: int | None = None,
 ) -> DataFrame:
     """N output records per input row (reference per-column-count explode,
     ``DataGeneratorFactory.scala:98-117`` — done with sequence+explode,
-    no UDF).  ``vary`` draws N in [1, records_per_value] per row."""
+    no UDF).  ``vary`` draws N per row from [records_min or 1,
+    records_per_value] — the PerColumnCount-with-generator surface."""
     if vary:
+        lo = records_min if records_min is not None else 1
         n = F.expr(
-            f"CAST(ROUND({_rand(rand_seed)} * {records_per_value - 1} + 1, 0) AS INT)"
+            f"CAST(ROUND({_rand(rand_seed)} * {records_per_value - lo} + {lo}, 0) AS INT)"
         )
     else:
         n = F.lit(records_per_value)

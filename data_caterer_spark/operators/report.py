@@ -1,18 +1,224 @@
 """Run-result reporting — the reference's result-writer surface
 (``DataGenerationResultWriter`` + ``ResultHtmlWriter``; models at
-``app/.../model/ResultModels.scala:36-51``) as JSON + markdown artifacts.
+``app/.../model/ResultModels.scala:7-51``) as JSON + markdown + HTML
+artifacts.
 
-No HTML templating: the consumers of a 10^12-row run are dashboards and
-CI, so the machine artifact is JSON and the human artifact is markdown.
+Model mapping (ResultModels.scala):
+* ``SinkResult``   (:36-51) -> :class:`SinkResult` — per-sink name/format/
+  save-mode/options/count/success/sample/duration.
+* ``StepResultSummary`` (:29-34) -> :class:`StepResult` — per-step record
+  count + success + its sink results.
+* run report = overview (plan summary, ResultHtmlWriter.planSummary) +
+  step/sink tables (stepsSummary/dataSourceDetails) + validation tables
+  (validations/validationSummary).
+
+The machine artifact is JSON (dashboards/CI over a 10^12-row run), the
+human artifacts are markdown and a dependency-free static HTML page.
 """
 
 from __future__ import annotations
 
+import html as _html
 import json
 import time
-from typing import Sequence
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Sequence
 
 from .validation import ValidationResult
+
+
+@dataclass
+class SinkResult:
+    """ResultModels.scala:36-51 (sans JVM-isms)."""
+
+    name: str
+    format: str
+    save_mode: str = "append"
+    options: dict[str, str] = dc_field(default_factory=dict)
+    count: int = -1
+    is_success: bool = True
+    sample: Sequence[str] = ()
+    duration_s: float = 0.0
+    exception: str | None = None
+
+
+@dataclass
+class StepResult:
+    """StepResultSummary (ResultModels.scala:29-34)."""
+
+    step: str
+    num_records: int
+    is_success: bool
+    sinks: Sequence[SinkResult] = ()
+
+
+def run_report_dict(
+    plan_name: str,
+    steps: Sequence[StepResult],
+    validations: Sequence[ValidationResult] = (),
+) -> dict:
+    """Overview + per-step/sink + validation sections (the
+    ResultHtmlWriter index/overview page as data)."""
+    return {
+        "plan": plan_name,
+        "generated_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "overview": {
+            "num_steps": len(steps),
+            "num_records": sum(s.num_records for s in steps),
+            "is_success": all(s.is_success for s in steps)
+            and all(v.is_success for v in validations),
+            "total_duration_s": round(
+                sum(sk.duration_s for s in steps for sk in s.sinks), 3
+            ),
+        },
+        "steps": [
+            {
+                "step": s.step,
+                "num_records": s.num_records,
+                "is_success": s.is_success,
+                "sinks": [
+                    {
+                        "name": k.name,
+                        "format": k.format,
+                        "save_mode": k.save_mode,
+                        "options": dict(k.options),
+                        "count": k.count,
+                        "is_success": k.is_success,
+                        "sample": list(k.sample)[:5],
+                        "duration_s": k.duration_s,
+                        "exception": k.exception,
+                    }
+                    for k in s.sinks
+                ],
+            }
+            for s in steps
+        ],
+        "validation": validation_report_dict(list(validations))
+        if validations
+        else None,
+    }
+
+
+def run_report_markdown(
+    plan_name: str,
+    steps: Sequence[StepResult],
+    validations: Sequence[ValidationResult] = (),
+) -> str:
+    d = run_report_dict(plan_name, steps, validations)
+    o = d["overview"]
+    lines = [
+        f"# Run report — {d['plan']}",
+        "",
+        f"{'SUCCESS' if o['is_success'] else '**FAILURE**'} — "
+        f"{o['num_records']} records across {o['num_steps']} steps in "
+        f"{o['total_duration_s']}s, generated {d['generated_at']}",
+        "",
+        "| step | records | status | sinks |",
+        "| --- | --- | --- | --- |",
+    ]
+    for s in d["steps"]:
+        sinks = ", ".join(
+            f"{k['name']}({k['format']}/{k['save_mode']})" for k in s["sinks"]
+        )
+        lines.append(
+            f"| {s['step']} | {s['num_records']} | "
+            f"{'PASS' if s['is_success'] else '**FAIL**'} | {sinks} |"
+        )
+    if d["validation"]:
+        lines += ["", validation_report_markdown(list(validations))]
+    return "\n".join(lines) + "\n"
+
+
+def _html_table(headers: list[str], rows: list[list[Any]]) -> str:
+    head = "".join(f"<th>{_html.escape(str(h))}</th>" for h in headers)
+    body = "".join(
+        "<tr>" + "".join(f"<td>{_html.escape(str(c))}</td>" for c in r) + "</tr>"
+        for r in rows
+    )
+    return f"<table><thead><tr>{head}</tr></thead><tbody>{body}</tbody></table>"
+
+
+def run_report_html(
+    plan_name: str,
+    steps: Sequence[StepResult],
+    validations: Sequence[ValidationResult] = (),
+) -> str:
+    """Static single-file HTML (ResultHtmlWriter.index/overview analog:
+    overview cards, step summary, sink details, validation table — no
+    external JS/CSS)."""
+    d = run_report_dict(plan_name, steps, validations)
+    o = d["overview"]
+    parts = [
+        "<!doctype html><html><head><meta charset='utf-8'>",
+        f"<title>Run report — {_html.escape(d['plan'])}</title>",
+        "<style>body{font-family:sans-serif;margin:2em}"
+        "table{border-collapse:collapse;margin:1em 0}"
+        "td,th{border:1px solid #999;padding:4px 8px}"
+        ".ok{color:green}.bad{color:red}</style></head><body>",
+        f"<h1>Run report — {_html.escape(d['plan'])}</h1>",
+        f"<p class='{'ok' if o['is_success'] else 'bad'}'>"
+        f"{'&#9989; SUCCESS' if o['is_success'] else '&#10060; FAILURE'} — "
+        f"{o['num_records']} records, {o['num_steps']} steps, "
+        f"{o['total_duration_s']}s — {d['generated_at']}</p>",
+        "<h2>Steps</h2>",
+        _html_table(
+            ["step", "records", "status"],
+            [
+                [s["step"], s["num_records"], "PASS" if s["is_success"] else "FAIL"]
+                for s in d["steps"]
+            ],
+        ),
+        "<h2>Sinks</h2>",
+        _html_table(
+            ["step", "sink", "format", "save mode", "count", "duration (s)", "status"],
+            [
+                [s["step"], k["name"], k["format"], k["save_mode"], k["count"],
+                 k["duration_s"], "OK" if k["is_success"] else "FAIL"]
+                for s in d["steps"]
+                for k in s["sinks"]
+            ],
+        ),
+    ]
+    if d["validation"]:
+        v = d["validation"]
+        parts += [
+            "<h2>Validations</h2>",
+            _html_table(
+                ["rule", "status", "errors", "total"],
+                [
+                    [r["rule_id"], "PASS" if r["is_success"] else "FAIL",
+                     r["num_errors"], r["total"]]
+                    for r in v["results"]
+                ],
+            ),
+        ]
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def write_run_report(
+    plan_name: str,
+    steps: Sequence[StepResult],
+    out_dir: str,
+    validations: Sequence[ValidationResult] = (),
+) -> dict[str, str]:
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    artifacts = {
+        "json": json.dumps(
+            run_report_dict(plan_name, steps, validations), indent=2, default=str
+        ),
+        "md": run_report_markdown(plan_name, steps, validations),
+        "html": run_report_html(plan_name, steps, validations),
+    }
+    for ext, content in artifacts.items():
+        p = os.path.join(out_dir, f"{plan_name}.{ext}")
+        with open(p, "w") as f:
+            f.write(content)
+        paths[ext] = p
+    return paths
 
 
 def validation_report_dict(

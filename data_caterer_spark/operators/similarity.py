@@ -275,40 +275,49 @@ def lsh_knn_join(
     bucketed = with_lsh_buckets(
         left, dim, num_tables, num_planes, seed, vec_col, probes=probes
     )
+    # the (table, bucket) candidate join carries (table, bucket, id) ONLY
+    # — never the vector payload (xT tables x both sides would multiply
+    # the shuffled vector bytes by 2T); full-precision vectors re-join
+    # AFTER candidate dedup, one narrow shuffle per side
     if probes == 0:
         exploded = bucketed.select(
             F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("__v"),
             F.posexplode("buckets").alias("table", "bucket"),
         )
-        a = exploded.select(
-            "table", "bucket", F.col("id").alias("id_a"), F.col("__v").alias("__va")
-        )
-        b = exploded.select(
-            "table", "bucket", F.col("id").alias("id_b"), F.col("__v").alias("__vb")
-        )
+        a = exploded.select("table", "bucket", F.col("id").alias("id_a"))
+        b = exploded.select("table", "bucket", F.col("id").alias("id_b"))
     else:
         per_table = bucketed.select(
             F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("__v"),
             F.posexplode("buckets").alias("table", "bs"),
         )
         a = per_table.select(
             "table",
             F.explode("bs").alias("bucket"),  # main + probe buckets
             F.col("id").alias("id_a"),
-            F.col("__v").alias("__va"),
         )
         b = per_table.select(
             "table",
             F.element_at("bs", 1).alias("bucket"),  # main bucket only
             F.col("id").alias("id_b"),
-            F.col("__v").alias("__vb"),
         )
+    vecs = left.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
     cand = (
         a.join(b, ["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            vecs.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb")),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",

@@ -765,9 +765,14 @@ _SHINGLES_SQL = f"""
     """,
 )
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (inverted-index self-join)."""
+    """N-gram Jaccard near-dup pairs, WITH the web-scale skew guard on:
+    candidate blocking caps hot-shingle posting lists (max_block), and
+    every candidate is re-verified against the full shingle sets so the
+    reported Jaccard is exact — the oracle is the uncapped all-pairs SQL,
+    and the outputs match because no fixture pair shares only hot
+    shingles (pinned also by tests/test_dedup.py cap-on == cap-off)."""
     df = _fan_out(_read(spark, sf_dir, "documents"))
-    return D.ngram_jaccard_pairs(df, k=3, threshold=0.6, max_block=None)
+    return D.ngram_jaccard_pairs(df, k=3, threshold=0.6, max_block=1000)
 
 
 # ===========================================================================
@@ -1020,12 +1025,16 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_ops_orphan_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT set op: order keys with no lineitems."""
+    """EXCEPT set op: order keys with no lineitems.
+
+    SQL EXCEPT is set difference — distinct + anti-join, NOT
+    ``exceptAll().distinct()`` (multiset difference keeps a key that
+    merely occurs more often on the left, which EXCEPT must remove)."""
     orders = _read(spark, sf_dir, "orders").select("o_orderkey")
     li = _read(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey")
     )
-    return orders.exceptAll(li).distinct()
+    return orders.distinct().join(li, "o_orderkey", "left_anti")
 
 
 @_q(
@@ -1205,5 +1214,5 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering step of large-scale dedup (hash-min label propagation;
     oracle = DuckDB recursive-CTE transitive closure)."""
     df = _fan_out(_read(spark, sf_dir, "documents"))
-    pairs = D.ngram_jaccard_pairs(df, k=3, threshold=0.6, max_block=None)
+    pairs = D.ngram_jaccard_pairs(df, k=3, threshold=0.6, max_block=1000)
     return D.connected_components(pairs)

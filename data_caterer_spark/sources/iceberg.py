@@ -8,11 +8,18 @@ The code below is the real production path: reviewed, importable, and
 exercised automatically wherever a runtime jar is present.
 
 Scale design encoded in the DDL:
-* ``bucket(N, conv_id)`` partitioning co-locates a conversation's turns,
-  so the pipeline's window shuffle becomes a LOCAL sort per partition
-  when reading bucket-aligned (storage-partitioned join/scan), and the
-  resume group = one bucket — partition pruning makes each group scan
-  touch 1/N of the data instead of filtering a full scan.
+* the resume-group id is an EXPLICIT column (``group_id =
+  pmod(xxhash64(conv_id), N)``, the same expression as the
+  parquet+manifest fallback's ``group_expr``) and that column IS the
+  partition key.  One group == one partition BY CONSTRUCTION, so
+  ``read_group`` prunes to exactly the group's files and
+  ``overwrite_group``'s dynamic partition overwrite can never touch
+  another group's rows.  (An Iceberg ``bucket(N, conv_id)`` transform
+  would NOT line up with any Spark-side hash predicate: Iceberg buckets
+  with murmur3 seed 0, Spark ``hash()`` with seed 42 — deriving both the
+  read predicate and the write scope from the same stored column removes
+  that whole failure class.)  Conversations still co-locate: same
+  conv_id -> same group -> same partition.
 * the lineage sidecar is an ordinary Iceberg table appended once per
   completed group; its snapshot history doubles as the audit log.
 """
@@ -20,8 +27,12 @@ Scale design encoded in the DDL:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..config import iceberg_available
+from .manifest import group_expr
+
+GROUP_COL = "group_id"
 
 TRANSCRIPTS_DDL = """
 CREATE TABLE IF NOT EXISTS {table} (
@@ -30,10 +41,11 @@ CREATE TABLE IF NOT EXISTS {table} (
     role     STRING,
     text     STRING,
     tool     STRING,
-    ts       TIMESTAMP
+    ts       TIMESTAMP,
+    group_id INT    NOT NULL
 )
 USING iceberg
-PARTITIONED BY (bucket({buckets}, conv_id))
+PARTITIONED BY (group_id)
 TBLPROPERTIES (
     'write.distribution-mode' = 'hash',
     'write.target-file-size-bytes' = '536870912'
@@ -43,6 +55,7 @@ TBLPROPERTIES (
 SIDECAR_DDL = """
 CREATE TABLE IF NOT EXISTS {table} (
     run_id      STRING,
+    run_scope   STRING,
     group_id    INT,
     rows_in     BIGINT,
     rows_kept   BIGINT,
@@ -74,18 +87,31 @@ def create_sidecar_table(spark: SparkSession, table: str) -> None:
     spark.sql(SIDECAR_DDL.format(table=table))
 
 
-def append(df: DataFrame, table: str) -> None:
+def with_group(df: DataFrame, buckets: int) -> DataFrame:
+    """Stamp the partition/resume group id (same ``group_expr`` as the
+    parquet fallback: stable across runs and cluster sizes)."""
+    if GROUP_COL in df.columns:
+        return df
+    return df.withColumn(GROUP_COL, group_expr("conv_id", buckets))
+
+
+def append(df: DataFrame, table: str, buckets: int = 256) -> None:
     """Snapshot-committed append (SinkFactory save-mode analog)."""
     _require(df.sparkSession)
-    df.writeTo(table).append()
+    with_group(df, buckets).writeTo(table).append()
 
 
 def overwrite_group(df: DataFrame, table: str, group_id: int, buckets: int) -> None:
-    """Idempotent re-write of one resume group: dynamic overwrite of the
-    rows whose conv_id hashes into the group's bucket — a crash mid-group
-    followed by a retry replaces, never duplicates."""
+    """Idempotent re-write of ONE resume group: the rows are filtered to
+    ``group_id`` (derived from the same expression that defines the
+    table's partition column), so the dynamic partition overwrite
+    replaces exactly that one partition — a crash mid-group followed by a
+    retry replaces, never duplicates, and can never clobber another
+    group's partition (the write scope and the read predicate share one
+    definition)."""
     _require(df.sparkSession)
-    df.writeTo(table).overwritePartitions()
+    scoped = with_group(df, buckets).where(F.col(GROUP_COL) == group_id)
+    scoped.writeTo(table).overwritePartitions()
 
 
 def completed_groups_from_sidecar(spark: SparkSession, table: str) -> set[int]:
@@ -105,10 +131,8 @@ def snapshots(spark: SparkSession, table: str) -> DataFrame:
 def read_group(
     spark: SparkSession, table: str, group_id: int, buckets: int
 ) -> DataFrame:
-    """One resume group's rows.  The predicate matches the table's bucket
-    transform, so Iceberg prunes to the group's files — this is what makes
-    per-group resume cost O(group), not O(table)."""
+    """One resume group's rows.  The predicate is a literal equality on
+    the partition column itself, so Iceberg prunes to exactly the group's
+    files — per-group resume costs O(group), not O(table)."""
     _require(spark)
-    return spark.read.table(table).where(
-        f"(abs(hash(conv_id)) % {buckets}) = {group_id}"
-    )
+    return spark.read.table(table).where(F.col(GROUP_COL) == group_id)

@@ -39,13 +39,21 @@ def read_source(
     production); ``path`` targets files."""
     if fmt in NON_BATCH_FORMATS:
         raise ValueError(f"{fmt} is not a batch-readable source")
+    if table is not None:
+        # catalog-table read keeps the configured options (Iceberg
+        # snapshot-id/as-of-timestamp etc. arrive this way); a schema
+        # cannot override a catalog table's own
+        if schema is not None:
+            raise ValueError("schema cannot be applied to a catalog table read")
+        reader = spark.read
+        if options:
+            reader = reader.options(**dict(options))
+        return reader.table(table)
     reader = spark.read.format(fmt)
     if options:
         reader = reader.options(**dict(options))
     if schema is not None:
         reader = reader.schema(schema)
-    if table is not None:
-        return spark.read.table(table)
     if path is None:
         raise ValueError("one of path/table required")
     return reader.load(path)

@@ -29,6 +29,7 @@ reference's own count-avoidance advice (``SinkFactory.scala:26-32``).
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import time
@@ -39,8 +40,8 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_SCHEMA = (
-    "run_id string, group_id int, rows_in long, rows_kept long, "
-    "rule_hits string, wall_s double, finished_at double"
+    "run_id string, run_scope string, group_id int, rows_in long, "
+    "rows_kept long, rule_hits string, wall_s double, finished_at timestamp"
 )
 
 
@@ -58,9 +59,18 @@ class ManifestSidecar:
         self.path = path
 
     def completed_groups(self, run_scope: str | None = None) -> set[int]:
+        """Groups completed under ``run_scope`` (a plan/config fingerprint).
+
+        Scoping matters for resume correctness: after a pipeline or config
+        change the old scope's outputs are stale — an unscoped skip would
+        silently mix old and new outputs.  ``None`` means any scope
+        (explicit opt-in to cross-scope resume).
+        """
         if not os.path.exists(self.path):
             return set()
         df = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+        if run_scope is not None:
+            df = df.where(F.col("run_scope") == run_scope)
         return {r["group_id"] for r in df.select("group_id").distinct().collect()}
 
     def append(self, row: dict) -> None:
@@ -68,6 +78,7 @@ class ManifestSidecar:
             [
                 (
                     row["run_id"],
+                    row["run_scope"],
                     row["group_id"],
                     row["rows_in"],
                     row["rows_kept"],
@@ -97,6 +108,7 @@ class ResumableRunner:
         conv_col: str = "conv_id",
         keep_col: str = "keep",
         hits_col: str = "rule_hits",
+        scope: str = "default",
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -105,9 +117,12 @@ class ResumableRunner:
         self.conv_col = conv_col
         self.keep_col = keep_col
         self.hits_col = hits_col
+        # scope = plan/config fingerprint: manifest rows from a DIFFERENT
+        # scope never satisfy this runner's resume check
+        self.scope = scope
 
     def pending_groups(self) -> list[int]:
-        done = self.manifest.completed_groups()
+        done = self.manifest.completed_groups(run_scope=self.scope)
         return [g for g in range(self.n_groups) if g not in done]
 
     def run(
@@ -157,6 +172,7 @@ class ResumableRunner:
             self.manifest.append(
                 {
                     "run_id": run_id,
+                    "run_scope": self.scope,
                     "group_id": gid,
                     "rows_in": stats["rows_in"],
                     "rows_kept": stats["rows_kept"],
@@ -164,7 +180,7 @@ class ResumableRunner:
                         {r["rid"]: r["count"] for r in hits}, sort_keys=True
                     ),
                     "wall_s": round(time.time() - t0, 3),
-                    "finished_at": time.time(),
+                    "finished_at": datetime.datetime.now(),
                 }
             )
             processed.append(gid)

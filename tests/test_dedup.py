@@ -53,6 +53,52 @@ def test_ngram_jaccard_exact_values(docs):
     assert (1, 4) not in rows
 
 
+def test_jaccard_cap_on_equals_cap_off(spark, sf_dir):
+    """The shipped skew guard must not change results on clean data:
+    capped blocking + full-set verification == the uncapped exact join."""
+    table = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(
+            table, threshold=0.6, max_block=1000
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(
+            table, threshold=0.6, max_block=None
+        ).collect()
+    }
+    assert capped == exact and len(exact) > 0
+
+
+def test_jaccard_capped_verification_is_exact(spark):
+    """A pair that shares BOTH hot and rare shingles: the hot shingles are
+    dropped from blocking but MUST still count in the verified Jaccard
+    (the old formulation underestimated the intersection)."""
+    hot = "alpha beta gamma"  # shared 3-shingle across every doc
+    rows = [(i, hot + f" filler{i} unique{i} tail{i}") for i in range(10)]
+    # docs 100/101: same rare tail AND the hot prefix => high true jaccard
+    rows += [(100, hot + " rare tail shared one"),
+             (101, hot + " rare tail shared two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            df, k=3, threshold=0.3, max_block=5
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            df, k=3, threshold=0.3, max_block=None
+        ).collect()
+    }
+    assert (100, 101) in got
+    # verified value equals the true (uncapped) jaccard, hot shingles included
+    assert got[(100, 101)] == exact[(100, 101)]
+
+
 def test_minhash_recall_against_exact(spark, sf_dir):
     table = spark.read.parquet(f"{sf_dir}/documents.parquet")
     exact = {

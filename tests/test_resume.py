@@ -61,6 +61,30 @@ def test_rerun_is_noop(spark, transcripts, tmp_path):
     assert man.count() == 3
 
 
+def test_resume_is_scope_aware(spark, transcripts, tmp_path):
+    """A config/plan change (new scope) must re-run every group — stale
+    manifest rows from another scope never satisfy the resume check."""
+    out_dir = str(tmp_path / "out")
+    man_dir = str(tmp_path / "manifest")
+    r1 = ResumableRunner(spark, out_dir, man_dir, n_groups=2, scope="cfg-v1")
+    assert len(r1.run(transcripts, _pipeline_fn)) == 2
+    # same scope: noop
+    assert r1.run(transcripts, _pipeline_fn) == []
+    # new scope: all groups pending again
+    r2 = ResumableRunner(spark, out_dir, man_dir, n_groups=2, scope="cfg-v2")
+    assert r2.pending_groups() == [0, 1]
+    assert len(r2.run(transcripts, _pipeline_fn)) == 2
+    man = ManifestSidecar(spark, man_dir)
+    assert man.completed_groups("cfg-v1") == {0, 1}
+    assert man.completed_groups("cfg-v2") == {0, 1}
+    # finished_at is a real timestamp (schema aligned with the Iceberg DDL)
+    import datetime
+
+    assert isinstance(
+        man.read().collect()[0]["finished_at"], datetime.datetime
+    )
+
+
 def test_lineage_metrics(spark, transcripts, tmp_path):
     runner = ResumableRunner(
         spark, str(tmp_path / "out"), str(tmp_path / "man"), n_groups=2

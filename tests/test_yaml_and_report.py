@@ -100,6 +100,48 @@ def test_report_writers(spark, tmp_path):
     assert loaded["results"][0]["sample_errors"] == [{"x": 50}]
 
 
+def test_run_report_full_surface(spark, tmp_path):
+    """ResultHtmlWriter-parity run report: overview + step/sink tables +
+    validation section, in json/md/html artifacts."""
+    from data_caterer_spark.operators.report import (
+        SinkResult,
+        StepResult,
+        run_report_dict,
+        write_run_report,
+    )
+    from data_caterer_spark.operators.rules import expr_rule
+    from data_caterer_spark.operators.validation import validate_rules
+
+    df = spark.createDataFrame([(1,), (2,), (50,)], "x int")
+    vres = validate_rules(df, [expr_rule("x_small", "x < 10")])
+    steps = [
+        StepResult(
+            step="generate_accounts",
+            num_records=1000,
+            is_success=True,
+            sinks=[
+                SinkResult(
+                    name="accounts_sink", format="parquet",
+                    save_mode="overwrite", count=1000, duration_s=1.5,
+                    sample=["row1", "row2"],
+                ),
+            ],
+        ),
+        StepResult(step="load_txns", num_records=500, is_success=True),
+    ]
+    d = run_report_dict("demo_plan", steps, vres)
+    assert d["overview"]["num_records"] == 1500
+    assert d["overview"]["is_success"] is False  # validation failed
+    assert d["steps"][0]["sinks"][0]["format"] == "parquet"
+    paths = write_run_report("demo_plan", steps, str(tmp_path), vres)
+    loaded = json.load(open(paths["json"]))
+    assert loaded["validation"]["failed"] == 1
+    html = open(paths["html"]).read()
+    assert "accounts_sink" in html and "x_small" in html and "FAILURE" in html
+    md = open(paths["md"]).read()
+    assert "generate_accounts" in md and "1500 records" in md
+
+
 def test_iceberg_gated(spark):
     from data_caterer_spark.config import iceberg_available
     from data_caterer_spark.sources import iceberg as ib
