@@ -185,9 +185,11 @@ def ngram_jaccard_pairs(
         )
     else:
         # postings feed four branches (frequency, blocking, two
-        # verification sides): persist so tokenize+explode runs once — the
-        # production analog is a materialized inverted index
+        # verification sides): persist AND populate eagerly — branches
+        # racing an empty cache would each re-run tokenize+explode.  The
+        # production analog is a materialized inverted index.
         posts = posts.persist()
+        posts.count()
         freq = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
         rare = posts.join(
             freq.where(F.col("__df") <= max_block), "sh"
@@ -552,6 +554,10 @@ def simhash_pairs(
         out_col="__fp",
         k=k,
     ).select("id", "__fp")
+    # both self-join sides derive from fp: persist+populate so the numpy
+    # signature UDF runs once, not once per join branch
+    fp = fp.persist()
+    fp.count()
     chunked = fp.select(
         "id",
         "__fp",

@@ -275,6 +275,11 @@ def lsh_knn_join(
     bucketed = with_lsh_buckets(
         left, dim, num_tables, num_planes, seed, vec_col, probes=probes
     )
+    # both self-join sides derive from the bucket UDF output: persist the
+    # slim (id, buckets) projection and populate eagerly so the matmul
+    # UDF runs once, not once per branch
+    bucketed = bucketed.select(F.col(id_col), F.col("buckets")).persist()
+    bucketed.count()
     # the (table, bucket) candidate join carries (table, bucket, id) ONLY
     # — never the vector payload (xT tables x both sides would multiply
     # the shuffled vector bytes by 2T); full-precision vectors re-join

@@ -854,7 +854,25 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@_q("langid_documents")
+def _langid_golden_oracle() -> str:
+    from .golden import langid_golden_sql
+
+    return langid_golden_sql()
+
+
+def _perplexity_golden_oracle() -> str:
+    from .golden import perplexity_golden_sql
+
+    return perplexity_golden_sql()
+
+
+def _media_golden_oracle() -> str:
+    from .golden import media_golden_sql
+
+    return media_golden_sql(n=300)
+
+
+@_q("langid_documents", _langid_golden_oracle)
 def langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-profile language ID via broadcast-model pandas UDF (the
     fastText deployment shape) — model inference has no SQL oracle."""
@@ -866,7 +884,7 @@ def langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("perplexity_documents")
+@_q("perplexity_documents", _perplexity_golden_oracle)
 def perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-trigram LM perplexity via broadcast-table pandas UDF."""
     from .functions.perplexity import with_perplexity
@@ -898,10 +916,12 @@ def lsh_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_knn_join(df, dim, k=3)
 
 
-@_q("media_image_features")
+@_q("media_image_features", _media_golden_oracle)
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesized binary media -> mapInPandas decode
-    (stubbed kernel, real schema/batching)."""
+    (stubbed kernel, real schema/batching).  Oracle = pure-Python replay
+    of the deterministic synth+decode (golden.media_golden_sql), so the
+    Arrow batching/schema plumbing is value-hash-verified."""
     from .operators.multimodal import decode_image_features, synthesize_media_df
 
     media = synthesize_media_df(spark, n=300)

@@ -154,6 +154,32 @@ def test_connected_components_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
 
 
+def test_connected_components_uses_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured, every round materializes through
+    RELIABLE checkpointing (files on checkpoint storage — survives
+    executor loss, unlike localCheckpoint), and the result is unchanged."""
+    import os
+
+    sc = spark.sparkContext
+    # checkpoint dir stays set for the session (it cannot be unset on a
+    # live SparkContext); later CC calls simply keep using it
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )  # chain: needs multiple propagation rounds
+    got = {
+        r["id"]: r["cluster"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {i: 1 for i in range(1, 6)}
+    ckpt_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(str(tmp_path / "ckpt"))
+        for f in fs
+    ]
+    assert ckpt_files, "no reliable checkpoint files written"
+
+
 def test_drop_near_duplicates_keeps_representatives(spark):
     docs = spark.createDataFrame(
         [(i, f"doc number {i}") for i in range(1, 11)], "doc_id long, text string"

@@ -66,6 +66,12 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
+    import os
+
+    from data_caterer_spark.golden import ORACLE_SF_ENV
+
+    # golden VALUES oracles render against the same sf the query reads
+    os.environ[ORACLE_SF_ENV] = sf_dir
     sql = ORACLES[name]() if callable(ORACLES[name]) else ORACLES[name]
     got, got_cols = _spark_rows(QUERIES[name](spark, sf_dir))
     want, want_cols = _duck_rows(duck, sql)

@@ -101,6 +101,20 @@ def test_lineage_metrics(spark, transcripts, tmp_path):
     assert all(r["wall_s"] > 0 for r in man)
 
 
+def test_read_source_table_keeps_options(spark):
+    """Catalog-table reads must not discard configured reader options
+    (snapshot-id / as-of-timestamp travel this way on Iceberg)."""
+    import pytest as _pytest
+
+    spark.range(5).createOrReplaceTempView("t_opts_src")
+    df = read_source(
+        spark, "parquet", table="t_opts_src", options={"mergeSchema": "true"}
+    )
+    assert df.count() == 5
+    with _pytest.raises(ValueError, match="schema"):
+        read_source(spark, "parquet", table="t_opts_src", schema="id long")
+
+
 def test_io_roundtrip_formats(spark, tmp_path):
     df = spark.range(100).select(
         F.col("id"), (F.col("id") % 7).alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("s")
