@@ -106,6 +106,178 @@ def media_golden_sql(n: int = 300) -> str:
     return _values_sql(rows, "media_id, width, height, channels, mean_luma")
 
 
+def minhash_golden_sql(
+    sf_dir: str | None = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """Independent single-process replay of MinHash+LSH banding over the
+    documents parquet: signatures via the shared kernel, but banding,
+    candidate bucketing, dedup, and the agreement estimate re-implemented
+    with plain dicts — verifies the distributed band-join plumbing."""
+    import numpy as np
+
+    from .operators.dedup import _MERSENNE, _perm_params, _py_shingle_hashes
+
+    docs = _documents(sf_dir or _oracle_sf_dir())
+    params = np.array(_perm_params(num_hashes, seed), dtype=np.int64)
+    a_vec, b_vec = params[:, 0][:, None], params[:, 1][:, None]
+    sigs: dict[int, np.ndarray] = {}
+    for doc_id, text in docs:
+        h = _py_shingle_hashes(text, k)
+        if h.size == 0:
+            sigs[doc_id] = np.full(num_hashes, _MERSENNE, dtype=np.int64)
+        else:
+            sigs[doc_id] = ((a_vec * h[None, :] + b_vec) % _MERSENNE).min(axis=1)
+    r = num_hashes // bands
+    buckets: dict[tuple[int, tuple[int, ...]], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for band in range(bands):
+            key = (band, tuple(int(x) for x in sig[band * r : (band + 1) * r]))
+            buckets.setdefault(key, []).append(doc_id)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, ia in enumerate(ids):
+            for ib in ids[i + 1 :]:
+                pairs.add((ia, ib))
+    rows = []
+    for ia, ib in sorted(pairs):
+        est = float((sigs[ia] == sigs[ib]).sum()) / num_hashes
+        if est >= threshold:
+            rows.append(
+                f"(CAST({ia} AS BIGINT), CAST({ib} AS BIGINT), "
+                f"CAST('{_spark_round(est, 6)!r}' AS DOUBLE))"
+            )
+    return _values_sql(rows, "id_a, id_b, est_jaccard")
+
+
+def simhash_golden_sql(
+    sf_dir: str | None = None, max_hamming: int = 3, k: int = 2
+) -> str:
+    """Independent replay of SimHash chunk blocking (shared fingerprint
+    kernel; blocking/dedup/hamming re-implemented with dicts)."""
+    import numpy as np
+
+    from .operators.dedup import SIMHASH_BITS, _CHUNKS, _py_shingle_hashes64
+
+    docs = _documents(sf_dir or _oracle_sf_dir())
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    fps: dict[int, int] = {}
+    for doc_id, text in docs:
+        h = _py_shingle_hashes64(text, k)
+        if h.size == 0:
+            fps[doc_id] = 0
+            continue
+        bits = ((h[:, None] >> bit_idx[None, :]) & 1).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        fp = np.bitwise_or.reduce(
+            np.where(votes > 0, np.uint64(1) << bit_idx, np.uint64(0))
+        )
+        fps[doc_id] = int(np.uint64(fp))
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, fp in fps.items():
+        for c in range(_CHUNKS):
+            buckets.setdefault((c, (fp >> (c * 16)) & 0xFFFF), []).append(doc_id)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, ia in enumerate(ids):
+            for ib in ids[i + 1 :]:
+                pairs.add((ia, ib))
+    rows = []
+    for ia, ib in sorted(pairs):
+        ham = bin(fps[ia] ^ fps[ib]).count("1")
+        if ham <= max_hamming:
+            rows.append(
+                f"(CAST({ia} AS BIGINT), CAST({ib} AS BIGINT), "
+                f"CAST({ham} AS INTEGER))"
+            )
+    return _values_sql(rows, "id_a, id_b, hamming")
+
+
+def lsh_knn_golden_sql(
+    sf_dir: str | None = None,
+    k: int = 3,
+    num_tables: int = 8,
+    num_planes: int = 12,
+    seed: int = 42,
+) -> str:
+    """Independent replay of the random-hyperplane LSH knn join over the
+    embeddings parquet: same hyperplane family and one whole-table matmul
+    for buckets, then dict-bucket candidates, exact cosine re-scored with
+    the SAME left-to-right fold order Spark's aggregate() uses (float sum
+    order is part of the value), symmetrize, top-k by (desc cos, asc id)."""
+    import duckdb
+    import numpy as np
+
+    from .operators.similarity import _hyperplanes
+
+    sf = sf_dir or _oracle_sf_dir()
+    recs = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in recs]
+    vecs = {r[0]: [float(x) for x in r[1]] for r in recs}
+    dim = len(recs[0][1])
+    mats = [
+        np.array(_hyperplanes(dim, num_planes, seed + 1000 * t), dtype=np.float64).T
+        for t in range(num_tables)
+    ]
+    planes = np.concatenate(mats, axis=1)
+    mat = np.array([vecs[i] for i in ids], dtype=np.float64)
+    margins = (mat @ planes).reshape(len(ids), num_tables, num_planes)
+    pow2 = np.array([1 << i for i in range(num_planes)], dtype=np.int64)
+    bucket_ids = ((margins >= 0) * pow2).sum(axis=2).astype(np.int64)
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for row, vid in enumerate(ids):
+        for t in range(num_tables):
+            buckets.setdefault((t, int(bucket_ids[row, t])), []).append(vid)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        members = sorted(members)
+        for i, ia in enumerate(members):
+            for ib in members[i + 1 :]:
+                cand.add((ia, ib))
+
+    def fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def fold_norm(a: list[float]) -> float:
+        import math
+
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return math.sqrt(acc)
+
+    scored: dict[int, list[tuple[float, int]]] = {}
+    for ia, ib in cand:
+        na, nb = fold_norm(vecs[ia]), fold_norm(vecs[ib])
+        if not (na > 0 and nb > 0):
+            continue
+        cos = _spark_round(fold_dot(vecs[ia], vecs[ib]) / (na * nb), 6)
+        scored.setdefault(ia, []).append((cos, ib))
+        scored.setdefault(ib, []).append((cos, ia))
+    rows = []
+    for ia in sorted(scored):
+        ranked = sorted(scored[ia], key=lambda cv: (-cv[0], cv[1]))
+        for rank, (cos, ib) in enumerate(ranked[:k], start=1):
+            rows.append(
+                f"(CAST({ia} AS BIGINT), CAST({ib} AS BIGINT), "
+                f"CAST('{cos!r}' AS DOUBLE), CAST({rank} AS INTEGER))"
+            )
+    return _values_sql(rows, "id_a, id_b, cos_sim, rank")
+
+
 @lru_cache(maxsize=4)
 def transcript_golden_rows(
     n_convs: int = 200, seed: int = 42

@@ -893,24 +893,48 @@ def perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_perplexity(df).select("doc_id", F.round("ppl", 2).alias("ppl"))
 
 
-@_q("minhash_lsh_dups")
+def _minhash_golden_oracle() -> str:
+    from .golden import minhash_golden_sql
+
+    return minhash_golden_sql()
+
+
+def _simhash_golden_oracle() -> str:
+    from .golden import simhash_golden_sql
+
+    return simhash_golden_sql()
+
+
+@_q("minhash_lsh_dups", _minhash_golden_oracle)
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (probabilistic; recall vs the exact
-    `ngram_jaccard_dups` is pinned in tests/test_dedup.py)."""
+    """MinHash+LSH near-dup candidates (recall vs the exact
+    `ngram_jaccard_dups` is pinned in tests/test_dedup.py).  Oracle = an
+    independent single-process replay of the banding algorithm
+    (golden.minhash_golden_sql): same signature kernel, dict-based
+    bucketing — value-hash-verifies the distributed band-join plumbing."""
     df = _fan_out(_read(spark, sf_dir, "documents"))
     return D.minhash_lsh_pairs(df, threshold=0.5)
 
 
-@_q("simhash_dups")
+@_q("simhash_dups", _simhash_golden_oracle)
 def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming<=3 near-dup pairs via chunk blocking."""
+    """SimHash hamming<=3 near-dup pairs via chunk blocking; oracle = the
+    independent chunk-blocking replay (golden.simhash_golden_sql)."""
     df = _fan_out(_read(spark, sf_dir, "documents"))
     return D.simhash_pairs(df, max_hamming=3)
 
 
-@_q("lsh_knn_embeddings")
+def _lsh_knn_golden_oracle() -> str:
+    from .golden import lsh_knn_golden_sql
+
+    return lsh_knn_golden_sql()
+
+
+@_q("lsh_knn_embeddings", _lsh_knn_golden_oracle)
 def lsh_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate knn join via random-hyperplane LSH."""
+    """Approximate knn join via random-hyperplane LSH; oracle = the
+    independent single-process bucketing+rescoring replay
+    (golden.lsh_knn_golden_sql, fold-order-exact cosine)."""
     df = _fan_out(_read(spark, sf_dir, "embeddings"))
     dim = len(df.select("embedding").first()["embedding"])
     return SIM.lsh_knn_join(df, dim, k=3)
@@ -1110,6 +1134,44 @@ def generate_seeded_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return generate(spark, fields, 1000, num_partitions=4)
+
+
+@_q(
+    "generate_typed_invariants",
+    """
+    SELECT CAST(1000 AS BIGINT) AS total,
+           CAST(1000 AS BIGINT) AS acct_ok,
+           CAST(1000 AS BIGINT) AS balance_ok,
+           CAST(1000 AS BIGINT) AS year_ok,
+           CAST(1000 AS BIGINT) AS fee_ok,
+           CAST(1000 AS BIGINT) AS ref_ok,
+           CAST(1000 AS BIGINT) AS tier_ok,
+           CAST(1000 AS BIGINT) AS daily_ok
+    """,
+)
+def generate_typed_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic invariants over the full typed generation surface
+    (bounds, regex shape, decimal range, nested-struct members, derived
+    columns) — every generated row must satisfy its spec, which is
+    checkable even though the seeded values themselves have no SQL
+    analog."""
+    df = generate_seeded_table(spark, sf_dir)
+    return df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_if(F.col("acct_id").between(10**9, 2 * 10**9)).alias("acct_ok"),
+        F.count_if(
+            F.col("balance").isNull() | F.col("balance").between(0, 10000)
+        ).alias("balance_ok"),
+        F.count_if(F.col("year") == F.year("opened")).alias("year_ok"),
+        F.count_if(
+            F.col("fee").between(F.lit(0), F.lit(500))
+        ).alias("fee_ok"),
+        F.count_if(F.col("ref_code").rlike("^ACC100[0-9]{5}$")).alias("ref_ok"),
+        F.count_if(F.col("details.tier").isin("gold", "silver")).alias("tier_ok"),
+        F.count_if(
+            F.col("details.limits.daily").between(100, 999)
+        ).alias("daily_ok"),
+    )
 
 
 @_q(
