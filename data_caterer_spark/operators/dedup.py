@@ -164,25 +164,28 @@ def ngram_jaccard_pairs(
         "__set_size",
         F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("sh"),
     )
-    if max_block is None:
-        # exact path: block on every shingle; the block join itself counts
-        # the intersection
-        a = posts.select(
+    def exact_pairs(p: DataFrame) -> DataFrame:
+        # block on every shingle; the block join itself counts the
+        # intersection
+        a = p.select(
             "sh",
             F.col("id").alias("id_a"),
             F.col("__set_size").alias("size_a"),
         )
-        b = posts.select(
+        b = p.select(
             "sh",
             F.col("id").alias("id_b"),
             F.col("__set_size").alias("size_b"),
         )
-        pairs = (
+        return (
             a.join(b, "sh")
             .where(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b", "size_a", "size_b")
             .agg(F.count(F.lit(1)).alias("__inter"))
         )
+
+    if max_block is None:
+        pairs = exact_pairs(posts)
     else:
         # postings feed four branches (frequency, blocking, two
         # verification sides): persist AND populate eagerly — branches
@@ -191,6 +194,26 @@ def ngram_jaccard_pairs(
         posts = posts.persist()
         posts.count()
         freq = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        # adaptive guard: one tiny existence probe decides the plan.  No
+        # hot shingle -> the capped plan IS the exact plan, so skip the
+        # blocking+verification joins entirely (same adaptive spirit as
+        # AQE's runtime re-plan; the probe costs one scan of the already
+        # persisted postings)
+        has_hot = (
+            len(freq.where(F.col("__df") > max_block).limit(1).take(1)) > 0
+        )
+        if not has_hot:
+            pairs = exact_pairs(posts)
+            jac = F.col("__inter") / (
+                F.col("size_a") + F.col("size_b") - F.col("__inter")
+            )
+            return (
+                pairs.withColumn("jaccard", jac)
+                .where(F.col("jaccard") >= threshold)
+                .select(
+                    "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+                )
+            )
         rare = posts.join(
             freq.where(F.col("__df") <= max_block), "sh"
         ).select("id", "sh")
