@@ -1175,6 +1175,76 @@ def generate_typed_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "generation_processor_invariants",
+    """
+    SELECT CAST(800 AS BIGINT) AS total_orders,
+           CAST(0 AS BIGINT) AS orphans,
+           CAST(0 AS BIGINT) AS dup_customers,
+           TRUE AS has_customers
+    """,
+)
+def generation_processor_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end batch generation orchestration (BatchDataProcessor /
+    RecordCountUtil reframing, plans/generation.py): multi-batch, unique
+    enforcement across batches, per-column fan-out, FK toposort.  The
+    oracle checks the orchestration INVARIANTS — exact fan-out total,
+    zero FK orphans, zero duplicate unique keys."""
+    from .operators.generator import FieldSpec
+    from .plans.generation import GenerationProcessor, GenStep, GenTask
+
+    tasks = [
+        GenTask(
+            "plan",
+            [
+                GenStep(
+                    "customers",
+                    fields=[
+                        FieldSpec("cust_id", "long", min=1, max=10**7, seed=7),
+                    ],
+                    records=250,
+                    unique_cols=["cust_id"],
+                    num_partitions=4,
+                ),
+                GenStep(
+                    "orders",
+                    fields=[
+                        FieldSpec("order_id", "long", min=1, max=10**9, seed=9),
+                        FieldSpec("cust_id", "long", min=0, max=0),
+                    ],
+                    records=400,
+                    per_column_records=2,
+                    num_partitions=4,
+                ),
+            ],
+        )
+    ]
+    tables, _results = GenerationProcessor(spark, records_per_batch=300).run(
+        tasks, foreign_keys=[("customers", "cust_id", "orders", "cust_id")]
+    )
+    customers, orders = tables["customers"], tables["orders"]
+    dups = (
+        customers.groupBy("cust_id")
+        .count()
+        .where(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_customers"))
+    )
+    return (
+        orders.agg(F.count(F.lit(1)).alias("total_orders"))
+        .crossJoin(
+            orders.join(customers, "cust_id", "left_anti").agg(
+                F.count(F.lit(1)).alias("orphans")
+            )
+        )
+        .crossJoin(dups)
+        .crossJoin(
+            customers.agg(
+                (F.count(F.lit(1)) > 0).alias("has_customers")
+            )
+        )
+    )
+
+
+@_q(
     "generate_regex_fields",
     """
     SELECT CAST(1000 AS BIGINT) AS total,
