@@ -100,3 +100,52 @@ def test_exact_dedup_partial_aggregation(spark, sf_dir):
 def test_topk_no_global_sort(spark, sf_dir):
     plan = _plan(QUERIES["embedding_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_band_join_is_payload_slim(spark, sf_dir):
+    """The banding self-join must carry (band, bh, id) only — signatures
+    re-join after candidate dedup.  The signature UDF must be cached (one
+    Arrow evaluation), never recomputed per branch."""
+    import pyspark.sql.functions as F
+
+    from data_caterer_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(minhash_lsh_pairs(docs, threshold=0.5))
+    # persisted signatures: every consuming branch reads the cache (the
+    # Arrow UDF executes once to populate it, not once per branch; the
+    # plan STRING still prints the cached relation's UDF subplan per
+    # branch, so counting ArrowEvalPython text occurrences is meaningless)
+    assert plan.count("InMemoryTableScan") >= 3
+    # the band-join exchanges must not shuffle the 64-long signature
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        if "bh" in keys:
+            assert "__sig" not in keys
+
+
+def test_lsh_knn_bucket_join_is_payload_slim(spark, sf_dir):
+    from data_caterer_spark.operators.similarity import lsh_knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    plan = _plan(lsh_knn_join(emb, dim, k=3))
+    # both bucket-join sides read the persisted (id, buckets) projection
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_fk_assignment_has_no_window(spark):
+    from data_caterer_spark.operators.generator import (
+        FieldSpec,
+        assign_foreign_key,
+        generate,
+    )
+
+    src = spark.createDataFrame([(1,), (2,)], "k long")
+    tgt = generate(
+        spark, [FieldSpec("k", "long"), FieldSpec("v", "int", min=0, max=9)],
+        100, num_partitions=4,
+    )
+    plan = _plan(assign_foreign_key(tgt, src, "k", "k"))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
