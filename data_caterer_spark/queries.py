@@ -1368,3 +1368,36 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _fan_out(_read(spark, sf_dir, "documents"))
     pairs = D.ngram_jaccard_pairs(df, k=3, threshold=0.6, max_block=1000)
     return D.connected_components(pairs)
+
+
+@_q(
+    "neardup_drop_count",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    posts AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh WHERE len(s) > 0),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / CAST(any_value(a.sz) + any_value(b.sz) - count(*) AS DOUBLE) >= 0.6
+    ),
+    edges(a, b) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+    SELECT CAST((SELECT count(*) FROM documents)
+                - (SELECT count(*) FROM labels WHERE id != cluster)
+           AS BIGINT) AS kept
+    """,
+)
+def neardup_drop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dedup: detect (capped Jaccard) -> cluster -> keep
+    one representative per cluster.  Oracle = total minus non-representative
+    cluster members from the recursive-CTE transitive closure."""
+    df = _fan_out(_read(spark, sf_dir, "documents"))
+    pairs = D.ngram_jaccard_pairs(df, k=3, threshold=0.6, max_block=1000)
+    kept = D.drop_near_duplicates(df, pairs)
+    return kept.agg(F.count(F.lit(1)).alias("kept"))
