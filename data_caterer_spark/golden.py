@@ -278,6 +278,93 @@ def lsh_knn_golden_sql(
     return _values_sql(rows, "id_a, id_b, cos_sim, rank")
 
 
+def ivf_knn_golden_sql(
+    sf_dir: str | None = None,
+    k: int = 3,
+    n_lists: int = 16,
+    probes: int = 2,
+    iters: int = 5,
+    seed: int = 42,
+) -> str:
+    """Independent replay of the IVF knn join: same numpy k-means on the
+    same storage-ordered sample, dict-based inverted lists (query-side
+    multiprobe), fold-order-exact cosine rescoring."""
+    import duckdb
+    import numpy as np
+
+    sf = sf_dir or _oracle_sf_dir()
+    recs = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()  # storage order == Spark scan order (single file)
+    ids = [r[0] for r in recs]
+    vecs = {r[0]: [float(x) for x in r[1]] for r in recs}
+    dim = len(recs[0][1])
+
+    from .operators.similarity import train_ivf_centroids  # noqa: F401
+    from .operators.similarity import _hyperplanes
+
+    x = np.array([[float(v) for v in r[1]] for r in recs], dtype=np.float64)
+    cent = np.array(_hyperplanes(dim, n_lists, seed), dtype=np.float64)
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.zeros_like(cent)
+        for c in range(n_lists):
+            members = x[assign == c]
+            if len(members) == 0:
+                new[c] = x[d2.min(axis=1).argmax()]
+            else:
+                new[c] = members.mean(axis=0)
+        cent = new
+    mat = np.array([vecs[i] for i in ids], dtype=np.float64)
+    d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    order = np.argsort(d2, axis=1)[:, :probes]
+    lists: dict[int, list[int]] = {}
+    probe_lists: dict[int, list[int]] = {}
+    for row, vid in enumerate(ids):
+        probe_lists[vid] = [int(c) for c in order[row]]
+        lists.setdefault(int(order[row, 0]), []).append(vid)
+    cand: set[tuple[int, int]] = set()
+    for vid in ids:
+        for c in probe_lists[vid]:
+            for other in lists.get(c, ()):  # indexed under nearest list only
+                # Spark join condition: PROBER id < INDEXED id
+                if vid < other:
+                    cand.add((vid, other))
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for p, q in zip(a, b):
+            acc += p * q
+        return acc
+
+    def fold_norm(a):
+        import math
+
+        acc = 0.0
+        for p in a:
+            acc += p * p
+        return math.sqrt(acc)
+
+    scored: dict[int, list[tuple[float, int]]] = {}
+    for ia, ib in cand:
+        na, nb = fold_norm(vecs[ia]), fold_norm(vecs[ib])
+        if not (na > 0 and nb > 0):
+            continue
+        cos = _spark_round(fold_dot(vecs[ia], vecs[ib]) / (na * nb), 6)
+        scored.setdefault(ia, []).append((cos, ib))
+        scored.setdefault(ib, []).append((cos, ia))
+    rows = []
+    for ia in sorted(scored):
+        ranked = sorted(set(scored[ia]), key=lambda cv: (-cv[0], cv[1]))
+        for rank, (cos, ib) in enumerate(ranked[:k], start=1):
+            rows.append(
+                f"(CAST({ia} AS BIGINT), CAST({ib} AS BIGINT), "
+                f"CAST('{cos!r}' AS DOUBLE), CAST({rank} AS INTEGER))"
+            )
+    return _values_sql(rows, "id_a, id_b, cos_sim, rank")
+
+
 @lru_cache(maxsize=4)
 def transcript_golden_rows(
     n_convs: int = 200, seed: int = 42

@@ -372,3 +372,155 @@ def embedding_neardup_pairs(
     return pairs.where(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", "cos_sim"
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# --------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    iters: int = 5,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Coarse quantizer training: k-means on a DRIVER-SIDE sample.
+
+    The IVF pattern (FAISS-style) separates a tiny training problem from
+    the huge assignment problem: centroids come from a bounded sample
+    (driver numpy Lloyd iterations — at 100 TB you sample ~100k rows, not
+    the table), and the full-table work is just assignment, which
+    :func:`with_ivf_list` does as one broadcast matmul per Arrow batch.
+    Deterministic: seeded splitmix init (same family as the LSH planes),
+    sample = the first N rows in storage order, empty clusters re-seeded
+    from the farthest points.
+    """
+    # deterministic bounded sample: first N rows in file order (sample
+    # BEFORE any repartition so the slice is storage-stable)
+    sample = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
+    init = np.array(
+        _hyperplanes(dim, n_lists, seed), dtype=np.float64
+    )  # reuse the deterministic pseudo-gaussian family
+    cent = init
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.zeros_like(cent)
+        for c in range(n_lists):
+            members = x[assign == c]
+            if len(members) == 0:
+                # re-seed an empty list from the point farthest from its
+                # centroid (standard k-means empty-cluster repair)
+                far = d2.min(axis=1).argmax()
+                new[c] = x[far]
+            else:
+                new[c] = members.mean(axis=0)
+        cent = new
+    return cent
+
+
+def with_ivf_list(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    vec_col: str = "embedding",
+    out_col: str = "ivf_list",
+    probes: int = 1,
+) -> DataFrame:
+    """Assign each row its ``probes`` nearest inverted lists (array<int>,
+    nearest first) — one broadcast matmul per Arrow batch, same
+    deployment shape as the LSH bucketer and the langid model."""
+    bc = df.sparkSession.sparkContext.broadcast(centroids.tobytes())
+    n_lists, dim = centroids.shape
+    n_probes = min(probes, n_lists)
+
+    @pandas_udf("array<int>")
+    def _assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cent = np.frombuffer(bc.value, dtype=np.float64).reshape(n_lists, dim)
+        for series in batches:
+            mat = np.array(
+                [v if v is not None else np.zeros(dim) for v in series],
+                dtype=np.float64,
+            )
+            d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1)[:, :n_probes].astype(np.int32)
+            yield pd.Series(list(order))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col).cast("array<double>")))
+
+
+def ivf_knn_join(
+    left: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 16,
+    probes: int = 2,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate self knn-join via inverted lists: candidates meet only
+    inside a shared list (equi-join on the list id), with multiprobe on
+    the QUERY side only (each row probes its ``probes`` nearest lists but
+    is indexed under its single nearest — the FAISS search pattern, so
+    the join fans out by probes on one side, not both).
+
+    Same shuffle discipline as :func:`lsh_knn_join`: the list join
+    carries (list, id) only; vectors re-join after candidate dedup.
+    """
+    centroids = train_ivf_centroids(
+        left, dim, n_lists=n_lists, iters=iters, seed=seed, vec_col=vec_col
+    )
+    assigned = with_ivf_list(left, centroids, vec_col, probes=probes)
+    slim = assigned.select(F.col(id_col).alias("id"), "ivf_list").persist()
+    slim.count()
+    a = slim.select(
+        F.explode("ivf_list").alias("list"), F.col("id").alias("id_a")
+    )
+    b = slim.select(
+        F.element_at("ivf_list", 1).alias("list"), F.col("id").alias("id_b")
+    )
+    vecs = left.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    cand = (
+        a.join(b, "list")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .join(
+            vecs.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim").isNotNull())
+    )
+    sym = cand.unionByName(
+        cand.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id_a", "id_b", "cos_sim", "rank")
+    )

@@ -930,6 +930,27 @@ def _lsh_knn_golden_oracle() -> str:
     return lsh_knn_golden_sql()
 
 
+def _ivf_knn_golden_oracle() -> str:
+    from .golden import ivf_knn_golden_sql
+
+    return ivf_knn_golden_sql()
+
+
+@_q("ivf_knn_embeddings", _ivf_knn_golden_oracle)
+def ivf_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate knn join via inverted-file (IVF) coarse quantization —
+    the FAISS-style alternative scale path to LSH: k-means centroids from
+    a bounded sample, one broadcast-matmul list assignment per Arrow
+    batch, candidates equi-joined on the list id with query-side
+    multiprobe.  Oracle = the independent single-process replay
+    (golden.ivf_knn_golden_sql)."""
+    df = _read(spark, sf_dir, "embeddings")
+    dim = len(df.select("embedding").first()["embedding"])
+    # NOTE: centroids train on the raw storage-ordered scan; fan-out for
+    # the assignment/join stages happens inside via persisted projections
+    return SIM.ivf_knn_join(df, dim, k=3)
+
+
 @_q("lsh_knn_embeddings", _lsh_knn_golden_oracle)
 def lsh_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate knn join via random-hyperplane LSH; oracle = the

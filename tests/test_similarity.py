@@ -59,6 +59,28 @@ def test_lsh_recall_at_k(emb):
     assert recall >= 0.5, recall
 
 
+def test_ivf_knn_recall_and_shape(emb):
+    """IVF coarse-quantizer path: sane top-k shape and usable recall vs
+    brute force (multiprobe covers centroid-boundary neighbors)."""
+    dim = len(emb.first()["embedding"])
+    sample = emb.limit(200)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.brute_force_knn_join(sample, k=3).collect()
+    }
+    out = S.ivf_knn_join(sample, dim, k=3, n_lists=8, probes=3).collect()
+    by_a = {}
+    for r in out:
+        by_a.setdefault(r["id_a"], []).append(r)
+    for rs in by_a.values():
+        assert len(rs) <= 3
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+    approx = {(r["id_a"], r["id_b"]) for r in out}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, recall
+
+
 def test_multiprobe_improves_recall(emb):
     dim = len(emb.first()["embedding"])
     sample = emb.limit(200)
