@@ -42,6 +42,7 @@ HEADLINE = [
     "simhash_dups",             # fingerprint + chunk-block dedup
     "embedding_topk",           # brute-force cosine top-k
     "lsh_knn_embeddings",       # LSH knn join
+    "ivf_knn_embeddings",       # IVF coarse-quantizer knn join
     "langid_documents",         # pandas-UDF broadcast-model inference
     "perplexity_documents",     # pandas-UDF numpy scoring
     "scrub_documents",          # sequential regex scrub chain
