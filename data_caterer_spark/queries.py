@@ -1122,7 +1122,6 @@ def set_ops_shared_keys_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@_q("generate_seeded_table")
 def generate_seeded_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded expression-based generation (DataGeneratorFactory semantics):
     bounded numerics, oneOf, dates, null injection, dependent SQL field —
@@ -1155,6 +1154,17 @@ def generate_seeded_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return generate(spark, fields, 1000, num_partitions=4)
+
+
+@_q("generate_seeded_table")
+def generate_seeded_table_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing view of :func:`generate_seeded_table`: identical rows,
+    with the nested struct serialized via ``to_json`` so the harness's
+    pandas canonicalizer (which sorts on every output column) never sees
+    an unhashable dict cell.  The typed struct schema itself is asserted
+    in pytest and by ``generate_typed_invariants``."""
+    df = generate_seeded_table(spark, sf_dir)
+    return df.withColumn("details", F.to_json("details"))
 
 
 @_q(
