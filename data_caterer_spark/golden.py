@@ -416,3 +416,88 @@ def transcript_golden_sql(n_convs: int = 200, seed: int = 42) -> str:
         + ", ".join(vals)
         + ") AS g(conv_id, turn_idx, keep, rule_hits, scrub_md5)"
     )
+
+
+# --------------------------------------------------------------------------
+# real-codec media oracles: sequential replay of synth + REAL decode
+# (operators/mediacodec.py) — the distributed mapInPandas plan is
+# hash-compared against the same pure-numpy kernels run single-process
+# --------------------------------------------------------------------------
+
+
+def real_image_golden_sql(n: int = 120, seed: int = 42) -> str:
+    from .operators import mediacodec as C
+
+    rows = []
+    for media_id in range(0, n):
+        kind, _, payload = C.synth_real_payload(media_id, seed)
+        if kind != "image":
+            continue
+        w, h, ch, luma = C.image_features(payload)
+        rows.append(
+            f"(CAST({media_id} AS BIGINT), CAST({w} AS INTEGER), "
+            f"CAST({h} AS INTEGER), CAST({ch} AS INTEGER), "
+            f"CAST('{luma!r}' AS DOUBLE))"
+        )
+    return _values_sql(rows, "media_id, width, height, channels, mean_luma")
+
+
+def real_audio_golden_sql(n: int = 120, seed: int = 42) -> str:
+    from .operators import mediacodec as C
+
+    rows = []
+    for media_id in range(0, n):
+        kind, _, payload = C.synth_real_payload(media_id, seed)
+        if kind != "audio":
+            continue
+        sr, ns, dur, rms = C.audio_features(payload)
+        rows.append(
+            f"(CAST({media_id} AS BIGINT), CAST({sr} AS INTEGER), "
+            f"CAST({ns} AS BIGINT), CAST('{dur!r}' AS DOUBLE), "
+            f"CAST('{rms!r}' AS DOUBLE))"
+        )
+    return _values_sql(rows, "media_id, sample_rate, n_samples, duration_s, rms")
+
+
+def video_frames_golden_sql(
+    n: int = 120, seed: int = 42, every_n: int = 2, max_frames: int = 8
+) -> str:
+    from .operators import mediacodec as C
+
+    rows = []
+    for media_id in range(0, n):
+        kind, _, payload = C.synth_real_payload(media_id, seed)
+        if kind != "video":
+            continue
+        for idx, luma in C.video_frame_features(
+            payload, every_n=every_n, max_frames=max_frames
+        ):
+            rows.append(
+                f"(CAST({media_id} AS BIGINT), CAST({idx} AS INTEGER), "
+                f"CAST('{round(luma, 6)!r}' AS DOUBLE))"
+            )
+    return _values_sql(rows, "media_id, frame_idx, frame_luma")
+
+
+def media_resize_golden_sql(
+    n: int = 120, seed: int = 42, out_w: int = 16, out_h: int = 12
+) -> str:
+    """Replay resize(decode) -> re-encode -> decode -> features: pins the
+    full payload-in/payload-out composition, not just one kernel."""
+    from .operators import mediacodec as C
+
+    rows = []
+    for media_id in range(0, n):
+        kind, _, payload = C.synth_real_payload(media_id, seed)
+        if kind != "image":
+            continue
+        resized = C.encode_ppm(
+            C.resize_nearest(C.decode_image(payload), out_w, out_h)
+        )
+        w, h, ch, luma = C.image_features(resized)
+        rows.append(
+            f"(CAST({media_id} AS BIGINT), CAST({len(resized)} AS BIGINT), "
+            f"CAST({w} AS INTEGER), CAST({h} AS INTEGER), "
+            f"CAST('{luma!r}' AS DOUBLE))"
+        )
+    return _values_sql(rows, "media_id, n_bytes, width, height, mean_luma")

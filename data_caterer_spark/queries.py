@@ -973,6 +973,97 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(media)
 
 
+def _real_image_golden_oracle() -> str:
+    from .golden import real_image_golden_sql
+
+    return real_image_golden_sql(n=120)
+
+
+def _real_audio_golden_oracle() -> str:
+    from .golden import real_audio_golden_sql
+
+    return real_audio_golden_sql(n=120)
+
+
+def _video_frames_golden_oracle() -> str:
+    from .golden import video_frames_golden_sql
+
+    return video_frames_golden_sql(n=120)
+
+
+def _media_resize_golden_oracle() -> str:
+    from .golden import media_resize_golden_sql
+
+    return media_resize_golden_sql(n=120)
+
+
+@_q("media_real_image_features", _real_image_golden_oracle)
+def media_real_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: distributed synthesis of actual PPM payloads
+    (mapInPandas over spark.range) -> real pixel decode + BT.601 luma in
+    Arrow batches (operators/mediacodec.py).  Oracle = the same codec
+    kernels run single-process and rendered as VALUES — the distributed
+    plan must reproduce the sequential decode bit-for-bit."""
+    from .operators.multimodal import (
+        MODE_REAL,
+        decode_image_features,
+        synthesize_real_media_df,
+    )
+
+    media = synthesize_real_media_df(spark, n=120)
+    return decode_image_features(media, mode=MODE_REAL)
+
+
+@_q("media_real_audio_features", _real_audio_golden_oracle)
+def media_real_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: PCM WAV payloads -> sample-rate/duration/RMS
+    computed from the actual samples (stdlib wave + numpy; no codec libs
+    needed).  Oracle = sequential replay of the same kernels."""
+    from .operators.multimodal import (
+        MODE_REAL,
+        decode_audio_features,
+        synthesize_real_media_df,
+    )
+
+    media = synthesize_real_media_df(spark, n=120)
+    return decode_audio_features(media, mode=MODE_REAL)
+
+
+@_q("media_video_frame_stats", _video_frames_golden_oracle)
+def media_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: Y4M payloads -> every-2nd-frame luma
+    stats, one row per sampled frame (flat-map fan-out inside mapInPandas,
+    no binary explode through a shuffle)."""
+    from .operators.multimodal import synthesize_real_media_df, video_frame_stats
+
+    media = synthesize_real_media_df(spark, n=120)
+    return video_frame_stats(media, every_n=2, max_frames=8)
+
+
+@_q("media_resize_features", _media_resize_golden_oracle)
+def media_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize pipeline: decode -> nearest-neighbor resample to 16x12
+    -> re-encode PPM -> decode again for features.  Pins the
+    payload-in/payload-out composition (resize stages chain with decode
+    stages and the bytes-budget repartitioner)."""
+    from .operators.multimodal import (
+        MODE_REAL,
+        decode_image_features,
+        resize_images,
+        synthesize_real_media_df,
+    )
+
+    media = synthesize_real_media_df(spark, n=120)
+    resized = resize_images(media, out_w=16, out_h=12)
+    feats = decode_image_features(
+        resized.withColumn("kind", F.lit("image")), mode=MODE_REAL
+    )
+    return (
+        feats.join(resized.select("media_id", "n_bytes"), "media_id")
+        .select("media_id", "n_bytes", "width", "height", "mean_luma")
+    )
+
+
 def _transcript_golden_oracle() -> str:
     from .golden import transcript_golden_sql
 

@@ -73,3 +73,102 @@ def test_media_repartition_targets_bytes(media):
     total = media.agg(F.sum("n_bytes")).first()[0]
     want = total // (16 * 1024) + 1
     assert out.rdd.getNumPartitions() == want
+
+
+# --------------------------------------------------------------------------
+# REAL codecs (operators/mediacodec.py): pure-numpy decode, no stub
+# --------------------------------------------------------------------------
+
+import numpy as np
+
+from data_caterer_spark.operators import mediacodec as C
+
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    return M.synthesize_real_media_df(spark, n=60).cache()
+
+
+def test_codec_roundtrips():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (19, 27, 3)).astype(np.uint8)
+    assert np.array_equal(C.decode_pnm(C.encode_ppm(img)), img)
+    gray = img[:, :, 1]
+    assert np.array_equal(C.decode_pnm(C.encode_ppm(gray)), gray)
+    assert np.array_equal(C.decode_bmp(C.encode_bmp(img)), img)
+    sr, pcm = C.decode_wav(C.encode_wav(np.sin(np.arange(500) / 9.0), 8000))
+    assert sr == 8000 and pcm.shape == (500,)
+    frames = [rng.randint(0, 256, (10, 14)).astype(np.uint8) for _ in range(4)]
+    w, h, fps, out = C.decode_y4m(C.encode_y4m(frames, fps_num=25))
+    assert (w, h, fps, len(out)) == (14, 10, 25, 4)
+    assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+
+
+def test_codec_rejects_garbage():
+    with pytest.raises(ValueError):
+        C.decode_image(b"\x89PNG not supported")
+    with pytest.raises(ValueError):
+        C.decode_y4m(b"RIFF nope")
+
+
+def test_real_image_decode_matches_sequential(real_media):
+    rows = {
+        r["media_id"]: r
+        for r in M.decode_image_features(real_media, mode=M.MODE_REAL).collect()
+    }
+    checked = 0
+    for media_id in range(0, 60, 3):
+        kind, _, payload = C.synth_real_payload(media_id, 42)
+        assert kind == "image"
+        w, h, ch, luma = C.image_features(payload)
+        r = rows[media_id]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
+        assert abs(r["mean_luma"] - luma) < 1e-12
+        checked += 1
+    assert checked == len(rows) == 20
+
+
+def test_real_audio_decode_matches_sequential(real_media):
+    rows = {
+        r["media_id"]: r
+        for r in M.decode_audio_features(real_media, mode=M.MODE_REAL).collect()
+    }
+    assert len(rows) == 20
+    for media_id, r in rows.items():
+        sr, ns, dur, rms = C.audio_features(
+            C.synth_real_payload(media_id, 42)[2]
+        )
+        assert (r["sample_rate"], r["n_samples"]) == (sr, ns)
+        assert abs(r["rms"] - rms) < 1e-12
+
+
+def test_real_video_frame_sampling(real_media):
+    frames = M.sample_video_frames(
+        real_media, every_n=2, max_frames=4, mode=M.MODE_REAL
+    ).collect()
+    assert frames
+    for r in frames:
+        # sampled frames are REAL decodable PGM payloads
+        img = C.decode_pnm(bytes(r["frame_png"]))
+        assert img.ndim == 2 and img.size > 0
+        assert r["frame_idx"] % 2 == 0
+    stats = M.video_frame_stats(real_media, every_n=2, max_frames=4).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in stats} == {
+        (r["media_id"], r["frame_idx"]) for r in frames
+    }
+
+
+def test_resize_images_payloads(real_media):
+    out = M.resize_images(real_media, out_w=8, out_h=6).collect()
+    assert len(out) == 20
+    for r in out:
+        img = C.decode_pnm(bytes(r["payload"]))
+        assert img.shape == (6, 8, 3)
+        assert r["n_bytes"] == len(bytes(r["payload"]))
+
+
+def test_resize_preserves_constant_image():
+    flat = np.full((20, 30, 3), 77, dtype=np.uint8)
+    resized = C.resize_nearest(flat, 9, 5)
+    assert resized.shape == (5, 9, 3) and np.all(resized == 77)
+    assert abs(C.mean_luma(flat) - 77 / 255.0) < 1e-12
