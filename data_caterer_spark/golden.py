@@ -501,3 +501,81 @@ def media_resize_golden_sql(
             f"CAST('{luma!r}' AS DOUBLE))"
         )
     return _values_sql(rows, "media_id, n_bytes, width, height, mean_luma")
+
+
+# --------------------------------------------------------------------------
+# streaming oracles: sequential labeler replay restricted to the stateless
+# rule bank (streaming/quality_stream.py drops the three cross-turn rules,
+# which are flag-severity — keep/drop is unaffected, hits lists shrink)
+# --------------------------------------------------------------------------
+
+_CROSS_TURN_RULES = ("role_alternation", "turn_contiguous", "ts_monotone")
+
+
+def _streaming_labeled(n_convs: int, seed: int):
+    from .fixtures import generate_transcripts
+    from .labeler import ReferenceLabeler
+
+    rows = generate_transcripts(n_convs=n_convs, seed=seed)
+    for t in ReferenceLabeler().label_rows(rows):
+        hits = [h for h in t.rule_hits if h not in _CROSS_TURN_RULES]
+        digest = (
+            None
+            if t.scrubbed_text is None
+            else hashlib.md5(t.scrubbed_text.encode("utf-8")).hexdigest()
+        )
+        yield t.conv_id, t.turn_idx, t.keep, "|".join(hits), digest
+
+
+def streaming_golden_sql(n_convs: int = 120, seed: int = 42) -> str:
+    """Per-turn streaming output (keep, stateless rule hits, scrub md5)."""
+    vals = []
+    for conv_id, turn_idx, keep, hits, digest in _streaming_labeled(
+        n_convs, seed
+    ):
+        md5_lit = "CAST(NULL AS VARCHAR)" if digest is None else f"'{digest}'"
+        vals.append(
+            f"('{conv_id}', {turn_idx}, {'TRUE' if keep else 'FALSE'}, "
+            f"'{hits}', {md5_lit})"
+        )
+    return (
+        "SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, keep, "
+        "rule_hits, scrub_md5 FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS g(conv_id, turn_idx, keep, rule_hits, scrub_md5)"
+    )
+
+
+def streaming_window_golden_sql(
+    n_convs: int = 120, seed: int = 42, window_s: int = 300
+) -> str:
+    """Tumbling-window (turns, kept, flagged) aggregates of the labeled
+    stream — the sequential replay of windowed_conversation_metrics.  The
+    fixture's ts values are deterministic epoch seconds; a window is
+    [floor(epoch/window_s)*window_s, +window_s)."""
+    from collections import defaultdict
+
+    from .fixtures import generate_transcripts
+
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in generate_transcripts(n_convs=n_convs, seed=seed)
+    }
+    agg: dict[int, list[int]] = defaultdict(lambda: [0, 0, 0])
+    for conv_id, turn_idx, keep, hits, _d in _streaming_labeled(n_convs, seed):
+        ts = rows[(conv_id, turn_idx)]["ts"]
+        bucket = int(ts.timestamp() // window_s) * window_s
+        a = agg[bucket]
+        a[0] += 1
+        a[1] += int(keep)
+        a[2] += int(bool(hits))
+    vals = [
+        f"({b}, {a[0]}, {a[1]}, {a[2]})" for b, a in sorted(agg.items())
+    ]
+    return (
+        "SELECT CAST(window_epoch AS BIGINT) AS window_epoch, "
+        "CAST(turns AS BIGINT) AS turns, CAST(kept AS BIGINT) AS kept, "
+        "CAST(flagged AS BIGINT) AS flagged FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS g(window_epoch, turns, kept, flagged)"
+    )

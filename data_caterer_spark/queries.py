@@ -1523,3 +1523,97 @@ def neardup_drop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.ngram_jaccard_pairs(df, k=3, threshold=0.6, max_block=1000)
     kept = D.drop_near_duplicates(df, pairs)
     return kept.agg(F.count(F.lit(1)).alias("kept"))
+
+
+# --------------------------------------------------------------------------
+# streaming (driver-visible): availableNow one-shot over the deterministic
+# fixture, memory sink, hash-compared against the sequential labeler
+# restricted to the stateless rule bank
+# --------------------------------------------------------------------------
+
+_STREAM_SEQ = iter(range(1, 1_000_000))
+
+
+def _run_available_now(out: DataFrame, checkpoint: str, output_mode: str):
+    """One-shot stream -> memory table; returns the batch DataFrame."""
+    name = f"dcs_stream_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish in 300 s")
+    return out.sparkSession.table(name)
+
+
+def _stream_fixture(spark: SparkSession, n_convs: int = 120):
+    """Write the deterministic transcripts fixture once, stream it back."""
+    import tempfile
+
+    from .fixtures import generate_transcripts_df
+
+    base = tempfile.mkdtemp(prefix="dcs_stream_")
+    inp = f"{base}/in"
+    generate_transcripts_df(spark, n_convs=n_convs).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    schema = spark.read.parquet(inp).schema
+    return spark.readStream.schema(schema).parquet(inp), base
+
+
+def _streaming_golden_oracle() -> str:
+    from .golden import streaming_golden_sql
+
+    return streaming_golden_sql(n_convs=120)
+
+
+def _streaming_window_golden_oracle() -> str:
+    from .golden import streaming_window_golden_sql
+
+    return streaming_window_golden_sql(n_convs=120)
+
+
+@_q("streaming_quality_turns", _streaming_golden_oracle)
+def streaming_quality_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming quality filter, driver-verified: the fixture
+    streamed through a file source with an availableNow trigger, stateless
+    keep/drop + scrub per turn (streaming/quality_stream.py — identical
+    kernels to the batch plan, cross-turn flag rules excluded as they need
+    ordering state).  Oracle = the sequential reference labeler restricted
+    to the same stateless bank — stream/batch/sequential all agree."""
+    from .streaming.quality_stream import streaming_quality_filter
+
+    stream, base = _stream_fixture(spark, n_convs=120)
+    out = streaming_quality_filter(stream).select(
+        "conv_id",
+        "turn_idx",
+        "keep",
+        F.array_join("rule_hits", "|").alias("rule_hits"),
+        F.md5("scrubbed_text").alias("scrub_md5"),
+    )
+    return _run_available_now(out, f"{base}/cp", "append")
+
+
+@_q("streaming_window_metrics", _streaming_window_golden_oracle)
+def streaming_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window monitoring aggregates over the labeled
+    stream (turns/kept/flagged per 5-minute event-time window) — the
+    streaming analog of the lineage sidecar rows.  Oracle = windowed
+    aggregation of the sequential labeler replay."""
+    from .streaming.quality_stream import windowed_conversation_metrics
+
+    stream, base = _stream_fixture(spark, n_convs=120)
+    metrics = windowed_conversation_metrics(
+        stream, window="5 minutes", watermark="10 minutes"
+    ).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "turns",
+        "kept",
+        "flagged",
+    )
+    return _run_available_now(metrics, f"{base}/cp", "complete")
