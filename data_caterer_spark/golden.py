@@ -300,22 +300,12 @@ def ivf_knn_golden_sql(
     vecs = {r[0]: [float(x) for x in r[1]] for r in recs}
     dim = len(recs[0][1])
 
-    from .operators.similarity import train_ivf_centroids  # noqa: F401
-    from .operators.similarity import _hyperplanes
+    from .operators.similarity import kmeans_fit
 
     x = np.array([[float(v) for v in r[1]] for r in recs], dtype=np.float64)
-    cent = np.array(_hyperplanes(dim, n_lists, seed), dtype=np.float64)
-    for _ in range(iters):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        new = np.zeros_like(cent)
-        for c in range(n_lists):
-            members = x[assign == c]
-            if len(members) == 0:
-                new[c] = x[d2.min(axis=1).argmax()]
-            else:
-                new[c] = members.mean(axis=0)
-        cent = new
+    # the SAME training kernel the Spark path runs on its driver-side
+    # sample (sample == whole table at oracle SFs), so quantizers match
+    cent = kmeans_fit(x, n_lists, iters=iters, seed=seed)
     mat = np.array([vecs[i] for i in ids], dtype=np.float64)
     d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     order = np.argsort(d2, axis=1)[:, :probes]

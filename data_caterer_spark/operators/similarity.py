@@ -379,6 +379,42 @@ def embedding_neardup_pairs(
 # --------------------------------------------------------------------------
 
 
+def kmeans_fit(
+    x: "np.ndarray", n_lists: int, iters: int = 5, seed: int = 42
+) -> "np.ndarray":
+    """Deterministic Lloyd iterations on a numpy sample — the SHARED
+    training kernel: the Spark path (:func:`train_ivf_centroids`) and the
+    sequential golden replay (``golden.ivf_knn_golden_sql``) both call
+    this, so the distributed and oracle runs train bit-identical
+    quantizers.
+
+    Init = a seeded draw of actual sample POINTS (k-means++-lite).  The
+    earlier gaussian-hyperplane init sat far from the data manifold and
+    converged to badly unbalanced lists (one hot list held ~17% of rows,
+    making the candidate join ~25% of brute force); point init keeps the
+    lists near-balanced, which is what bounds the per-list quadratic
+    candidate blocks at scale.  Empty clusters re-seed from the point
+    farthest from its centroid (standard repair).
+    """
+    if len(x) < n_lists:
+        raise ValueError(f"need >= {n_lists} sample rows, got {len(x)}")
+    rng = np.random.RandomState(seed)
+    cent = x[np.sort(rng.choice(len(x), size=n_lists, replace=False))].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.zeros_like(cent)
+        for c in range(n_lists):
+            members = x[assign == c]
+            if len(members) == 0:
+                far = d2.min(axis=1).argmax()
+                new[c] = x[far]
+            else:
+                new[c] = members.mean(axis=0)
+        cent = new
+    return cent
+
+
 def train_ivf_centroids(
     df: DataFrame,
     dim: int,
@@ -395,9 +431,8 @@ def train_ivf_centroids(
     (driver numpy Lloyd iterations — at 100 TB you sample ~100k rows, not
     the table), and the full-table work is just assignment, which
     :func:`with_ivf_list` does as one broadcast matmul per Arrow batch.
-    Deterministic: seeded splitmix init (same family as the LSH planes),
-    sample = the first N rows in storage order, empty clusters re-seeded
-    from the farthest points.
+    Deterministic: seeded sample-point init (see :func:`kmeans_fit`),
+    sample = the first N rows in storage order.
     """
     # deterministic bounded sample: first N rows in file order (sample
     # BEFORE any repartition so the slice is storage-stable)
@@ -407,25 +442,7 @@ def train_ivf_centroids(
         .collect()
     )
     x = np.array([r["v"] for r in sample], dtype=np.float64)
-    init = np.array(
-        _hyperplanes(dim, n_lists, seed), dtype=np.float64
-    )  # reuse the deterministic pseudo-gaussian family
-    cent = init
-    for _ in range(iters):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        new = np.zeros_like(cent)
-        for c in range(n_lists):
-            members = x[assign == c]
-            if len(members) == 0:
-                # re-seed an empty list from the point farthest from its
-                # centroid (standard k-means empty-cluster repair)
-                far = d2.min(axis=1).argmax()
-                new[c] = x[far]
-            else:
-                new[c] = members.mean(axis=0)
-        cent = new
-    return cent
+    return kmeans_fit(x, n_lists, iters=iters, seed=seed)
 
 
 def with_ivf_list(

@@ -933,7 +933,7 @@ def _lsh_knn_golden_oracle() -> str:
 def _ivf_knn_golden_oracle() -> str:
     from .golden import ivf_knn_golden_sql
 
-    return ivf_knn_golden_sql()
+    return ivf_knn_golden_sql(n_lists=32)
 
 
 @_q("ivf_knn_embeddings", _ivf_knn_golden_oracle)
@@ -947,8 +947,10 @@ def ivf_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "embeddings")
     dim = len(df.select("embedding").first()["embedding"])
     # NOTE: centroids train on the raw storage-ordered scan; fan-out for
-    # the assignment/join stages happens inside via persisted projections
-    return SIM.ivf_knn_join(df, dim, k=3)
+    # the assignment/join stages happens inside via persisted projections.
+    # n_lists=32: balanced point-init lists keep per-list candidate blocks
+    # ~2 orders below brute force (the oracle replays the same params)
+    return SIM.ivf_knn_join(df, dim, k=3, n_lists=32)
 
 
 @_q("lsh_knn_embeddings", _lsh_knn_golden_oracle)
