@@ -569,3 +569,46 @@ def streaming_window_golden_sql(
         + ", ".join(vals)
         + ") AS g(window_epoch, turns, kept, flagged)"
     )
+
+
+# --------------------------------------------------------------------------
+# decontamination oracle: sequential shingle-overlap replay
+# --------------------------------------------------------------------------
+
+
+def _py_word_shingles(text: "str | None", k: int) -> set[str]:
+    """Python mirror of dedup.word_shingles (same tokenization contract as
+    _py_shingle_hashes, shingle STRINGS instead of hashes)."""
+    if text is None:
+        return set()
+    toks = text.lower().split()
+    if not toks:
+        return set()
+    if len(toks) >= k:
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    return {" ".join(toks)}
+
+
+def decontamination_golden_sql(
+    sf_dir: str | None = None,
+    k: int = 3,
+    min_overlap: int = 3,
+    eval_mod: int = 25,
+) -> str:
+    """Corpus docs overlapping the eval slice (doc_id % eval_mod == 0) in
+    >= min_overlap distinct shingles — replayed with plain Python sets."""
+    docs = _documents(sf_dir or _oracle_sf_dir())
+    eval_sh: set[str] = set()
+    for doc_id, text in docs:
+        if doc_id % eval_mod == 0:
+            eval_sh |= _py_word_shingles(text, k)
+    rows = []
+    for doc_id, text in docs:
+        if doc_id % eval_mod == 0:
+            continue
+        n = len(_py_word_shingles(text, k) & eval_sh)
+        if n >= min_overlap:
+            rows.append(
+                f"(CAST({doc_id} AS BIGINT), CAST({n} AS BIGINT))"
+            )
+    return _values_sql(rows, "doc_id, n_shared")

@@ -710,3 +710,63 @@ def drop_near_duplicates(
         F.col("id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (training-data hygiene)
+# --------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Corpus documents sharing >= ``min_overlap`` distinct word
+    k-shingles with ANY document of an evaluation set: (id, n_shared).
+
+    The decontamination shape for 100 TB: the eval/benchmark side is tiny
+    (thousands of documents), so its distinct shingle hashes BROADCAST —
+    the corpus is a single scan + broadcast-hash semi-join + partial
+    aggregation, no corpus shuffle of text (shingle strings never leave
+    the scan stage; the join key is ``xxhash64(shingle)``, 8 bytes)."""
+    ev = (
+        eval_df.select(word_shingles(text_col, k).alias("__sh"))
+        .select(F.explode("__sh").alias("s"))
+        .select(F.xxhash64("s").alias("sh"))
+        .distinct()
+    )
+    posts = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, k)).alias("s"),
+    ).select("id", F.xxhash64("s").alias("sh"))
+    # (id, sh) is unique by construction (word_shingles is array_distinct,
+    # ev is distinct), so a plain count IS the distinct count — no
+    # per-group hash-set aggregation needed
+    return (
+        posts.join(F.broadcast(ev), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_overlap)
+        .select(F.col("id").alias(id_col), "n_shared")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Drop corpus documents that overlap the evaluation set (see
+    :func:`contamination_overlap`) — broadcast anti-join, corpus stays
+    partition-local."""
+    hits = contamination_overlap(
+        corpus, eval_df, id_col, text_col, k, min_overlap
+    ).select(id_col)
+    return corpus.join(F.broadcast(hits), id_col, "left_anti")

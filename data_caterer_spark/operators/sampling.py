@@ -1,0 +1,91 @@
+"""Deterministic hash-based sampling — train-set curation operators.
+
+A 100 TB training-data pipeline samples by HASH, not by RNG: the sample
+must be reproducible across retries/backfills, stable under repartition,
+and consistent at the unit-of-leakage level (every turn of a conversation
+lands in the same split, or eval rows leak into train).  ``rand(seed)``
+gives none of that — its draw depends on row position within a partition.
+
+All operators here filter on ``md5(salt || key)``: a pure projection +
+filter, no shuffle, no state — Catalyst pushes it into the scan, and the
+same expression is valid ANSI SQL, so every sample is DuckDB-verifiable
+(the driver's correctness gate) with no golden replay needed.
+
+The threshold trick: the first 8 hex chars of the digest are a uniform
+draw from 16^8 values; lexicographic comparison of lowercase hex equals
+numeric comparison, so ``substr(md5(k), 1, 8) < hex(fraction * 16^8)``
+keeps an (asymptotically) ``fraction`` share, deterministically per key.
+
+Reference parity note: data-caterer has no sampling surface (its Count
+generators draw row counts, ``PlanModels.scala:53-63``); this module is
+part of the beyond-reference training-pipeline surface the build brief
+asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: field separator for multi-column keys (never appears in the data's ids)
+_SEP = "\x1f"
+
+
+def fraction_threshold(fraction: float) -> str:
+    """``fraction`` in [0, 1] -> 8-char lowercase hex threshold."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * 16**8), 16**8 - 1), "08x")
+
+
+def hash_bucket(cols: list[str], seed: int = 42) -> Column:
+    """First 8 hex chars of md5(seed || key columns) — the uniform draw."""
+    key = F.concat_ws(_SEP, F.lit(str(seed)), *[F.col(c).cast("string") for c in cols])
+    return F.substring(F.md5(key), 1, 8)
+
+
+def hash_sample(
+    df: DataFrame, cols: list[str], fraction: float, seed: int = 42
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows, keyed by ``cols``.
+
+    Rows with equal keys are kept or dropped together — sample at the
+    conversation/document level by passing the id column, not the row."""
+    return df.where(hash_bucket(cols, seed) < F.lit(fraction_threshold(fraction)))
+
+
+def with_split(
+    df: DataFrame,
+    cols: list[str],
+    test_fraction: float = 0.1,
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/test assignment, leakage-safe by construction:
+    the split is a pure function of the key columns, so every row sharing
+    a key (every turn of a conversation) lands in the same split — on any
+    cluster size, in any run."""
+    is_test = hash_bucket(cols, seed) < F.lit(fraction_threshold(test_fraction))
+    return df.withColumn(
+        out_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str],
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix curator
+    ("20% of code, 5% of chat, ...").  One scan, no shuffle: the stratum
+    picks a threshold (a small CASE), the key hash draws against it.
+    Strata not listed in ``fractions`` keep ``default_fraction``."""
+    thr: Column = F.lit(fraction_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(stratum_col) == value, F.lit(fraction_threshold(frac))
+        ).otherwise(thr)
+    return df.where(hash_bucket(key_cols, seed) < thr)

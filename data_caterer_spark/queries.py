@@ -24,6 +24,7 @@ from .functions import docs as DOC
 from .functions import text as T
 from .functions.scrub import scrub_columns
 from .operators import dedup as D
+from .operators import sampling as SAMP
 from .operators import similarity as SIM
 from .operators.rules import RuleSet, expr_rule, field
 from .operators.validation import group_by_validation_df, prefix_upstream
@@ -1619,3 +1620,104 @@ def streaming_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flagged",
     )
     return _run_available_now(metrics, f"{base}/cp", "complete")
+
+
+# --------------------------------------------------------------------------
+# training-set curation: deterministic sampling + decontamination
+# --------------------------------------------------------------------------
+
+
+def _split_sql() -> str:
+    from .operators.sampling import fraction_threshold
+
+    thr = fraction_threshold(0.2)
+    return f"""
+        WITH s AS (
+            SELECT o_custkey,
+                   CASE WHEN substr(md5(concat_ws(chr(31), '42',
+                            CAST(o_custkey AS VARCHAR))), 1, 8) < '{thr}'
+                        THEN 'test' ELSE 'train' END AS split
+            FROM orders
+        )
+        SELECT split, COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_custkeys
+        FROM s GROUP BY split
+    """
+
+
+@_q("sampling_split_integrity", _split_sql)
+def sampling_split_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split keyed by customer: the split is a
+    pure function of md5(seed || o_custkey), so all of a customer's orders
+    land in one split on any cluster size — the leakage-safety invariant a
+    training pipeline needs (operators/sampling.py).  Pure projection +
+    filter: no shuffle beyond the reporting aggregate, and the identical
+    expression runs as the DuckDB oracle (no golden replay needed)."""
+    orders = _read(spark, sf_dir, "orders")
+    s = SAMP.with_split(orders, ["o_custkey"], test_fraction=0.2, seed=42)
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_custkeys"),
+    )
+
+
+def _stratified_sql() -> str:
+    from .operators.sampling import fraction_threshold
+
+    a, n, r = (
+        fraction_threshold(0.2),
+        fraction_threshold(0.05),
+        fraction_threshold(0.1),
+    )
+    return f"""
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        WHERE substr(md5(concat_ws(chr(31), '42',
+                  CAST(l_orderkey AS VARCHAR),
+                  CAST(l_linenumber AS VARCHAR))), 1, 8) <
+              CASE l_returnflag WHEN 'A' THEN '{a}'
+                                WHEN 'N' THEN '{n}'
+                                WHEN 'R' THEN '{r}'
+                                ELSE '00000000' END
+        GROUP BY l_returnflag
+    """
+
+
+@_q("stratified_sample_counts", _stratified_sql)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix curator
+    ("keep 20% of A, 5% of N, 10% of R").  One scan, no RNG, reproducible
+    under retries and repartitioning; the stratum only selects the hash
+    threshold.  Oracle = the same md5-threshold expression in plain SQL."""
+    li = _read(spark, sf_dir, "lineitem")
+    s = SAMP.stratified_hash_sample(
+        li,
+        "l_returnflag",
+        {"A": 0.2, "N": 0.05, "R": 0.1},
+        ["l_orderkey", "l_linenumber"],
+        seed=42,
+    )
+    return s.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def _decontamination_golden_oracle() -> str:
+    from .golden import decontamination_golden_sql
+
+    return decontamination_golden_sql()
+
+
+@_q("decontamination_overlap", _decontamination_golden_oracle)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing >= 3 distinct
+    word-3-shingles with the eval slice (doc_id % 25 == 0).  The eval
+    side's shingle hashes broadcast, so the 100 TB corpus is one scan +
+    broadcast semi-join — no corpus shuffle (operators/dedup.py
+    contamination_overlap).  Oracle = sequential Python-set replay."""
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 25 == 0)
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+    return D.contamination_overlap(corpus, ev, min_overlap=3)
