@@ -612,3 +612,28 @@ def decontamination_golden_sql(
                 f"(CAST({doc_id} AS BIGINT), CAST({n} AS BIGINT))"
             )
     return _values_sql(rows, "doc_id, n_shared")
+
+
+def conversation_rollup_golden_sql(
+    n_convs: int = 200, seed: int = 42, min_keep_ratio: float = 0.5
+) -> str:
+    """Conversation-level keep decision from the per-turn golden labels:
+    (conv_id, n_turns, n_kept, conv_keep = kept/turns >= ratio)."""
+    from collections import defaultdict
+
+    agg: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for conv_id, _idx, keep, _hits, _d in transcript_golden_rows(
+        n_convs, seed
+    ):
+        agg[conv_id][0] += 1
+        agg[conv_id][1] += int(keep)
+    vals = []
+    for conv_id, (n, kept) in sorted(agg.items()):
+        flag = "TRUE" if kept >= min_keep_ratio * n else "FALSE"
+        vals.append(f"('{conv_id}', {n}, {kept}, {flag})")
+    return (
+        "SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns, "
+        "CAST(n_kept AS BIGINT) AS n_kept, conv_keep FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS g(conv_id, n_turns, n_kept, conv_keep)"
+    )

@@ -1721,3 +1721,109 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.where(F.col("doc_id") % 25 == 0)
     corpus = docs.where(F.col("doc_id") % 25 != 0)
     return D.contamination_overlap(corpus, ev, min_overlap=3)
+
+
+# --------------------------------------------------------------------------
+# sink roundtrip (driver-visible write-path verification)
+# --------------------------------------------------------------------------
+
+
+_WRITE_SQL = """
+    SELECT 'csv' AS fmt, COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem WHERE l_returnflag = 'A'
+    UNION ALL
+    SELECT 'json', COUNT(*), ROUND(SUM(l_extendedprice), 2)
+    FROM lineitem WHERE l_returnflag = 'A'
+    UNION ALL
+    SELECT 'orc', COUNT(*), ROUND(SUM(l_extendedprice), 2)
+    FROM lineitem WHERE l_returnflag = 'A'
+    UNION ALL
+    SELECT 'parquet', COUNT(*), ROUND(SUM(l_extendedprice), 2)
+    FROM lineitem WHERE l_returnflag = 'A'
+"""
+
+
+@_q("write_roundtrip_counts", _WRITE_SQL)
+def write_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch write-path verification: one projection of lineitem written
+    through write_sink per format (overwrite mode, save-mode surface of
+    SinkFactory.scala:24-44; parquet additionally partitionBy + explicit
+    repartition, SinkFactory.scala:81-87), read back through read_source,
+    and re-aggregated.  The oracle aggregates the ORIGINAL table — the
+    roundtrip must be lossless for every format.  CSV/JSON read back with
+    an explicit schema (text formats do not carry types)."""
+    import tempfile
+
+    from .sources.io import read_source, write_sink
+
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "A"
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    schema = (
+        "l_orderkey bigint, l_linenumber int, l_returnflag string, "
+        "l_extendedprice double"
+    )
+    base = tempfile.mkdtemp(prefix="dcs_sink_")
+    outs = []
+    for fmt in ("csv", "json", "orc", "parquet"):
+        path = f"{base}/{fmt}"
+        kwargs: dict = {"mode": "overwrite"}
+        read_opts: dict = {}
+        if fmt == "csv":
+            kwargs["options"] = {"header": "true"}
+            read_opts = {"header": "true"}
+        if fmt == "parquet":
+            kwargs["partition_by"] = ["l_returnflag"]
+            kwargs["num_partitions"] = 4
+        write_sink(li, fmt, path=path, **kwargs)
+        back = read_source(
+            spark,
+            fmt,
+            path=path,
+            options=read_opts or None,
+            schema=None if fmt in ("orc", "parquet") else schema,
+        )
+        outs.append(
+            back.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _conversation_rollup_golden_oracle() -> str:
+    from .golden import conversation_rollup_golden_sql
+
+    return conversation_rollup_golden_sql(n_convs=200)
+
+
+@_q("conversation_keep_rollup", _conversation_rollup_golden_oracle)
+def conversation_keep_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level curation on top of the flagship pipeline: a
+    conversation survives only if >= 50% of its turns pass the per-turn
+    filter (the document-level analog of per-turn keep/drop — real
+    pipelines drop the whole transcript when most turns are junk).  One
+    extra partial aggregation on the already-shuffled conv_id key — no
+    new exchange.  Oracle = the same rollup over the reference labeler's
+    per-turn golden labels."""
+    from .fixtures import generate_transcripts_df
+    from .plans.pipeline import QualityFilterPipeline
+
+    df = generate_transcripts_df(spark, n_convs=200, num_partitions=8)
+    out = QualityFilterPipeline().run(df)
+    return (
+        out.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.count_if(F.col("keep")).alias("n_kept"),
+        )
+        .withColumn(
+            "conv_keep", F.col("n_kept") >= 0.5 * F.col("n_turns")
+        )
+    )
