@@ -107,3 +107,31 @@ def stable_order(df: DataFrame, conv_col: str = "conv_id", idx_col: str = "turn_
     ordered; no total order across conversations is promised or needed.
     """
     return df.repartition(conv_col).sortWithinPartitions(conv_col, idx_col)
+
+
+def budget_prefix(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    cost_col,
+    budget: int,
+    cum_col: str = "cum_cost",
+) -> DataFrame:
+    """Keep each group's longest ORDERED prefix whose cumulative cost fits
+    a budget — context-window truncation for training prep (drop a
+    conversation's tail turns once the token budget is exhausted; pack a
+    shard's documents until the context fills).
+
+    Pure Catalyst: one running-sum window (streaming frame — sort, no
+    buffering) + a filter, so it scales exactly like the ordering window
+    the pipeline already pays for.  ``cost_col`` may be a column name or a
+    Column expression (e.g. a token count)."""
+    cost = F.col(cost_col) if isinstance(cost_col, str) else cost_col
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(cum_col, F.sum(cost).over(w)).where(
+        F.col(cum_col) <= budget
+    )

@@ -1827,3 +1827,41 @@ def conversation_keep_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_keep", F.col("n_kept") >= 0.5 * F.col("n_turns")
         )
     )
+
+
+_BUDGET_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 50 AS shard,
+               CAST(len({_TOKS_SQL}) AS INT) AS n_ws
+        FROM documents WHERE text IS NOT NULL
+    ), cum AS (
+        SELECT doc_id, shard, n_ws,
+               SUM(n_ws) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_cost
+        FROM toks
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_ws,
+           CAST(cum_cost AS BIGINT) AS cum_cost
+    FROM cum WHERE cum_cost <= 512
+"""
+
+
+@_q("budget_prefix_packing", _BUDGET_SQL)
+def budget_prefix_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation for training prep: within each shard
+    (ordered stream of documents), keep the longest prefix whose
+    cumulative whitespace-token count fits a 512-token budget
+    (operators/windows.py budget_prefix — one streaming-frame running-sum
+    window + filter, the same shuffle shape as the pipeline's ordering
+    window).  Oracle = the identical running-sum window in plain SQL."""
+    from .operators.windows import budget_prefix
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    df = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 50).alias("shard"),
+        T.token_count("text").alias("n_ws"),
+    )
+    return budget_prefix(
+        df, "shard", "doc_id", "n_ws", budget=512
+    )

@@ -118,3 +118,16 @@ def test_stable_order_contiguous_and_sorted(spark):
 
     flags = out.rdd.mapPartitions(check).collect()
     assert all(flags)
+
+
+def test_budget_prefix_keeps_ordered_prefix(spark):
+    from data_caterer_spark.operators.windows import budget_prefix
+
+    rows = [("c1", 0, 100), ("c1", 1, 200), ("c1", 2, 250), ("c1", 3, 10),
+            ("c2", 0, 600), ("c3", 0, 500)]
+    df = spark.createDataFrame(rows, "conv string, idx int, cost int")
+    out = budget_prefix(df, "conv", "idx", "cost", budget=500)
+    got = sorted((r["conv"], r["idx"], r["cum_cost"]) for r in out.collect())
+    # c1: 100, 300 fit; 550 exceeds -> idx 2 AND everything after it drop
+    # (prefix semantics: the later cheap turn idx=3 must NOT sneak back in)
+    assert got == [("c1", 0, 100), ("c1", 1, 300), ("c3", 0, 500)]
