@@ -98,7 +98,7 @@ def run_pipeline(spark) -> tuple[float, int]:
     return first, n_turns, retime
 
 
-def run_scaling(n: int = 4, repeats: int = 3) -> dict | None:
+def run_scaling(n: int = 4, repeats: int = 4) -> dict | None:
     """Two-cluster-size evidence (BASELINE: efficiency >= 0.8 from N to 4N
     executors).  No real cluster in this sandbox, so the same job runs at
     two parallelism levels — taskset-pinned local[N] vs local[4N] in fresh
