@@ -93,3 +93,93 @@ def test_lit_sql_never_breaks_quoting(value):
         inner = rendered[1:-1]
         # every quote inside is escaped: no bare ' remains
         assert re.search(r"(?<!\\)'", inner) is None
+
+
+# --------------------------------------------------------------------------
+# media codecs: encode/decode round trips on arbitrary shapes/signals
+# --------------------------------------------------------------------------
+
+import numpy as np
+
+from data_caterer_spark.operators import mediacodec as C
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_ppm_bmp_roundtrip_any_shape(w, h, seed):
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(C.decode_pnm(C.encode_ppm(img)), img)
+    assert np.array_equal(C.decode_bmp(C.encode_bmp(img)), img)
+    gray = img[:, :, 0]
+    assert np.array_equal(C.decode_pnm(C.encode_ppm(gray)), gray)
+
+
+@given(
+    st.integers(min_value=1, max_value=5000),
+    st.sampled_from([8000, 16000, 22050, 44100]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_wav_roundtrip_any_signal(n, sr, seed):
+    sig = np.random.RandomState(seed).uniform(-1, 1, n)
+    sr2, pcm = C.decode_wav(C.encode_wav(sig, sr))
+    assert sr2 == sr and pcm.shape == (n,)
+    # 16-bit quantization error bound: encode scales by 32767, decode by
+    # 32768 (the usual PCM convention), so worst case is |x|/32768 scale
+    # skew + half-step rounding
+    assert np.abs(pcm - sig).max() <= 1.5 / 32768 + 1e-9
+
+
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_y4m_roundtrip_any_frames(n_frames, half_w, half_h, seed):
+    rng = np.random.RandomState(seed)
+    w, h = half_w * 2, half_h * 2  # C420 needs even dims
+    frames = [
+        rng.randint(0, 256, (h, w)).astype(np.uint8) for _ in range(n_frames)
+    ]
+    w2, h2, _fps, out = C.decode_y4m(C.encode_y4m(frames))
+    assert (w2, h2, len(out)) == (w, h, n_frames)
+    assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+
+
+@given(
+    st.integers(min_value=1, max_value=50),
+    st.integers(min_value=1, max_value=50),
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=1, max_value=60),
+)
+@settings(max_examples=150, deadline=None)
+def test_resize_shape_and_value_domain(in_w, in_h, out_w, out_h):
+    img = np.arange(in_w * in_h * 3, dtype=np.int64).reshape(in_h, in_w, 3)
+    img = (img % 256).astype(np.uint8)
+    r = C.resize_nearest(img, out_w, out_h)
+    assert r.shape == (out_h, out_w, 3)
+    # nearest-neighbor never invents values
+    assert set(np.unique(r)) <= set(np.unique(img))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=100), max_size=30),
+       st.integers(min_value=0, max_value=300))
+@settings(max_examples=200, deadline=None)
+def test_budget_prefix_invariant_sequential(costs, budget):
+    # the operator's WHERE cum<=budget equals "longest prefix that fits"
+    # for non-negative costs: verify the pure-python model of it
+    cum, keep = 0, 0
+    for c in costs:
+        cum += c
+        if cum > budget:
+            break
+        keep += 1
+    cums = np.cumsum(costs) if costs else np.array([])
+    kept_filter = int((cums <= budget).sum())
+    assert kept_filter == keep
