@@ -1865,3 +1865,40 @@ def budget_prefix_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_prefix(
         df, "shard", "doc_id", "n_ws", budget=512
     )
+
+
+_QUANT_SQL = """
+    WITH t AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) / 127.0 AS s
+        FROM embeddings
+    ), tq AS (
+        SELECT vec_id,
+               CASE WHEN s > 0
+                    THEN list_transform(v, x -> floor(x / s + 0.5))
+                    ELSE list_transform(v, x -> 0.0) END AS q
+        FROM t
+    ), qrow AS (SELECT q FROM tq WHERE vec_id = 0)
+    SELECT tq.vec_id,
+           round(list_dot_product(tq.q, qrow.q)
+                 / (sqrt(list_dot_product(tq.q, tq.q))
+                    * sqrt(list_dot_product(qrow.q, qrow.q))), 6) AS cos_sim
+    FROM tq, qrow
+    WHERE list_dot_product(tq.q, tq.q) > 0
+      AND list_dot_product(qrow.q, qrow.q) > 0
+    ORDER BY cos_sim DESC, tq.vec_id ASC LIMIT 10
+"""
+
+
+@_q("quantized_embedding_topk", _QUANT_SQL)
+def quantized_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized brute-force top-k: symmetric per-vector quantization
+    in pure Catalyst (half-up rounding spelled as floor(x/s + 0.5) so
+    Spark and SQL agree bit-for-bit), cosine over the quantized values
+    (the scale cancels; |q| <= 127 keeps every dot exact in double).  The
+    8x vector-width reduction is the storage/shuffle answer for ANN at
+    100 TB; same scan -> TakeOrderedAndProject plan as embedding_topk."""
+    df = _read(spark, sf_dir, "embeddings")
+    q = [float(x) for x in df.where(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.quantized_cosine_topk(df, q, k=10)

@@ -119,3 +119,26 @@ def test_deterministic_across_runs(emb):
     a = S.lsh_knn_join(emb.limit(100), dim, k=2).collect()
     b = S.lsh_knn_join(emb.limit(100), dim, k=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_quantized_topk_recall_vs_exact(emb):
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()}
+    quant = {r["vec_id"] for r in S.quantized_cosine_topk(emb, q, k=10).collect()}
+    # int8 keeps ~2 decimal digits of the cosine: ordering stays close
+    assert len(exact & quant) >= 7
+    assert 0 in quant  # the query vector itself stays the top hit
+
+
+def test_quantization_error_bound(spark):
+    import math
+
+    from data_caterer_spark.operators.similarity import quantize_query
+
+    vec = [0.91, -0.44, 0.002, 127.0, -3.5]
+    qv = quantize_query(vec)
+    s = max(abs(x) for x in vec) / 127.0
+    for x, qx in zip(vec, qv):
+        assert qx == float(math.floor(x / s + 0.5))
+        assert abs(qx * s - x) <= s / 2 + 1e-12  # half-step error bound
+    assert quantize_query([0.0, 0.0]) == [0.0, 0.0]
