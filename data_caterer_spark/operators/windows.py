@@ -135,3 +135,35 @@ def budget_prefix(
     return df.withColumn(cum_col, F.sum(cost).over(w)).where(
         F.col(cum_col) <= budget
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_s: int = 1800,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the key's previous event exceeds ``gap_s``.
+
+    Two stacked windows over the SAME (key, ts) ordering — lag to flag
+    session starts, running sum to number them — so Catalyst plans ONE
+    sort/exchange for both (the second window reuses the first's
+    partitioning and order).  The standard sessionize shape at any scale;
+    skewed keys inherit the engine's salting answer if a single key's
+    events exceed a partition."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    # microsecond integers on both sides of the oracle comparison: Spark
+    # unix_micros == DuckDB epoch_us, no float truncation at the gap edge
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_start = F.when(gap.isNull() | (gap > gap_s * 1_000_000), 1).otherwise(0)
+    run = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("__start", is_start).withColumn(
+        out_col, F.sum("__start").over(run)
+    ).drop("__start")

@@ -1902,3 +1902,39 @@ def quantized_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "embeddings")
     q = [float(x) for x in df.where(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.quantized_cosine_topk(df, q, k=10)
+
+
+
+
+_SESSIONIZE_SQL = """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id,
+               SUM(s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@_q("events_sessionize", _SESSIONIZE_SQL)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (new session after a
+    30-minute silence): lag flags starts, a running sum numbers them —
+    both windows share ONE sort/exchange (operators/windows.py
+    sessionize).  Oracle = the identical pair of SQL windows."""
+    from .operators.windows import sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_s=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

@@ -131,3 +131,31 @@ def test_budget_prefix_keeps_ordered_prefix(spark):
     # c1: 100, 300 fit; 550 exceeds -> idx 2 AND everything after it drop
     # (prefix semantics: the later cheap turn idx=3 must NOT sneak back in)
     assert got == [("c1", 0, 100), ("c1", 1, 300), ("c3", 0, 500)]
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    from data_caterer_spark.operators.windows import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", base),
+        ("u1", base + dt.timedelta(minutes=10)),     # same session
+        ("u1", base + dt.timedelta(minutes=50)),     # 40min gap -> new
+        ("u2", base),                                # separate key
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    out = {(r["user"], r["ts"].minute): r["session_id"]
+           for r in sessionize(df, "user", "ts", gap_s=1800).collect()}
+    assert out[("u1", 0)] == out[("u1", 10)] == 1
+    assert out[("u1", 50)] == 2
+    assert out[("u2", 0)] == 1
+
+
+def test_sessionize_single_exchange(spark):
+    from data_caterer_spark.operators.windows import sessionize
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = sessionize(df, "user_id", "ts")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # both windows share one shuffle
