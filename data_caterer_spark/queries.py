@@ -1938,3 +1938,49 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+_JSON_INGEST_SQL = """
+    WITH raw AS (
+        SELECT event_type,
+               CASE WHEN event_id % 10 = 0
+                    THEN substr(props, 1, length(props) - 1)
+                    ELSE props END AS p
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN json_valid(p) THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(SUM(CASE WHEN json_valid(p)
+                         THEN CAST(json_extract(p, '$.k') AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS sum_k
+    FROM raw GROUP BY event_type
+"""
+
+
+@_q("json_schema_ingest", _JSON_INGEST_SQL)
+def json_schema_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON ingestion with corrupt-record accounting: 10%
+    of the payloads are deterministically truncated, ``from_json`` parses
+    the rest against an explicit schema, and the aggregate reports
+    rows / corrupt / extracted sums per event type — the permissive-mode
+    ingestion shape for semi-structured transcript metadata (bad records
+    are counted and quarantined, never dropped silently).  Oracle = the
+    same mangle + json_valid/json_extract in plain SQL."""
+    ev = _read(spark, sf_dir, "events")
+    mangled = ev.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 10 == 0,
+            F.expr("substr(props, 1, length(props) - 1)"),
+        ).otherwise(F.col("props")).alias("p"),
+    )
+    parsed = mangled.withColumn("j", F.from_json("p", "k int"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("j").isNull() | F.col("j.k").isNull(), 1).otherwise(0)).alias(
+            "n_corrupt"
+        ),
+        F.sum(F.coalesce(F.col("j.k"), F.lit(0)).cast("long")).alias("sum_k"),
+    )
