@@ -130,3 +130,32 @@ def test_scrub_examples():
     assert s == "that [TOX] build"
     assert hits == ["toxicity"]
     assert scrub_text(None) == (None, [])
+
+
+def test_pipeline_exact_on_hot_conversation(spark):
+    """Full pipeline under planted skew: one 30k-turn conversation among
+    normal ones — completes, loses no rows, and every hot-conversation
+    turn matches the sequential labeler exactly (cross-turn rules
+    included, which stress the window ordering on the skewed key)."""
+    from data_caterer_spark.fixtures import generate_transcripts
+    from data_caterer_spark.fixtures import transcripts_df
+    from data_caterer_spark.plans.pipeline import QualityFilterPipeline
+
+    rows = generate_transcripts(n_convs=20, hot_conv_turns=30_000)
+    df = transcripts_df(spark, rows).repartition(16)
+    out = QualityFilterPipeline().run(df)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["keep"], r["scrubbed_text"])
+        for r in out.select(
+            "conv_id", "turn_idx", "keep", "scrubbed_text"
+        ).collect()
+    }
+    assert len(got) == len(rows)
+    golden = {
+        (t.conv_id, t.turn_idx): (t.keep, t.scrubbed_text)
+        for t in ReferenceLabeler().label_rows(rows)
+    }
+    hot = [k for k in golden if k[0] == "CONVHOT00000001"]
+    assert len(hot) == 30_000
+    for k in hot:
+        assert got[k] == golden[k]
