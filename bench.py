@@ -136,6 +136,12 @@ def run_scaling(n: int = 4, repeats: int = 4) -> dict | None:
             env = dict(os.environ)
             env["SPARK_GRAFT_CPUS"] = str(cpus)
             env["SPARK_GRAFT_BENCH_CONVS"] = scaling_convs
+            # IDENTICAL plan at both cluster sizes: shuffle partitions are
+            # part of the job, not of the cluster — a real N-vs-4N-executor
+            # comparison varies only resources.  (Without this, the N-core
+            # config runs fewer/bigger shuffle tasks and banks a per-task
+            # overhead advantage that reads as anti-scaling.)
+            env["SPARK_GRAFT_SHUFFLE"] = "64"
             cmd = [
                 "taskset", "-c", f"0-{cpus - 1}",
                 sys.executable, os.path.join(repo, "bench.py"),
@@ -177,7 +183,9 @@ def main() -> None:
     spark = get_spark(
         app_name="dcs-bench",
         master=f"local[{CPUS}]",
-        shuffle_partitions=max(CPUS, 8),
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE", max(CPUS, 8))
+        ),
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -9,8 +9,8 @@ north_star —
          → keep / rule_hits / scrubbed_text
 
 Stage boundaries are chosen so Arrow crosses the JVM↔Python fence exactly
-twice (langid, perplexity); everything else stays inside whole-stage
-codegen.  Rule ids, thresholds, and evaluation order are the single source
+ONCE (the fused langid+perplexity stage, ``functions/scoring.py``);
+everything else stays inside whole-stage codegen.  Rule ids, thresholds, and evaluation order are the single source
 of truth shared with the pure-Python reference labeler
 (``data_caterer_spark.labeler``), which replays the same rules row-by-row —
 the byte-equality / F1 criterion compares the two.
@@ -28,8 +28,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..functions.langid import with_language
-from ..functions.perplexity import with_perplexity
+from ..functions.langid import with_language  # noqa: F401 (single-model path)
+from ..functions.perplexity import with_perplexity  # noqa: F401
+from ..functions.scoring import with_model_scores
 from ..functions.scrub import scrub_columns, scrub_udf
 from ..functions.textcore import LangIdModel, PerplexityModel
 from ..operators.rules import Rule, RuleSet, expr_rule
@@ -141,8 +142,11 @@ class QualityFilterPipeline:
         lang_score, ppl, rule_hits, keep, scrubbed_text, scrub_hits."""
         cfg = self.config
         df = self.with_features(df)
-        df = with_language(df, model=self.langid_model)
-        df = with_perplexity(df, model=self.ppl_model)
+        # both models in ONE Arrow crossing (functions/scoring.py) —
+        # outputs byte-identical to the two single-model stages
+        df = with_model_scores(
+            df, langid_model=self.langid_model, ppl_model=self.ppl_model
+        )
         rules = self.heuristic_rules()
         df = df.withColumn("heur_hits", rules.hits_column())
         if cfg.use_udf_scrub:

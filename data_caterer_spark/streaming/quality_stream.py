@@ -34,8 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions import text as T
-from ..functions.langid import with_language
-from ..functions.perplexity import with_perplexity
+from ..functions.scoring import with_model_scores
 from ..functions.scrub import scrub_columns
 from ..operators.rules import RuleSet
 from ..plans.pipeline import QualityFilterConfig, QualityFilterPipeline
@@ -60,8 +59,9 @@ def streaming_quality_filter(
     pipe = QualityFilterPipeline(config)
     cfg = pipe.config
     df = T.with_text_features(stream, char_run=cfg.char_run)
-    df = with_language(df, model=pipe.langid_model)
-    df = with_perplexity(df, model=pipe.ppl_model)
+    df = with_model_scores(
+        df, langid_model=pipe.langid_model, ppl_model=pipe.ppl_model
+    )
     rules = _stateless_rules(pipe)
     df = df.withColumn("heur_hits", rules.hits_column())
     df = scrub_columns(df)

@@ -7,7 +7,7 @@ pin the plan properties the engine is designed around:
 * small dimension joins broadcast (no shuffle of the fact side);
 * the flagship filter is shuffle-free (pure projection);
 * the full pipeline has exactly ONE exchange (the conv_id window sort)
-  and exactly TWO Arrow (pandas-UDF) stages (langid, perplexity).
+  and exactly ONE Arrow (pandas-UDF) stage (fused langid+perplexity).
 """
 
 from __future__ import annotations
@@ -78,7 +78,7 @@ def test_pipeline_exchange_and_arrow_budget(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"pipeline must shuffle exactly once (conv_id window), got {n_exchanges}\n{plan}"
     n_arrow = plan.count("ArrowEvalPython")
-    assert n_arrow == 2, f"exactly two Arrow stages (langid, ppl), got {n_arrow}"
+    assert n_arrow == 1, f"exactly one Arrow stage (fused langid+ppl), got {n_arrow}"
     # no row-at-a-time Python anywhere
     assert "BatchEvalPython" not in plan
 
