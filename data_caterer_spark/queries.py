@@ -152,6 +152,137 @@ def rule_keep_per_row(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "rule_string_ops",
+    """
+    SELECT 'name_prefix' AS rule_id,
+           count(*) FILTER (WHERE NOT starts_with(c_name, 'Customer#')) AS violations
+    FROM customer
+    UNION ALL SELECT 'no_999',
+           count(*) FILTER (WHERE NOT (NOT contains(c_name, '999'))) FROM customer
+    UNION ALL SELECT 'ends_zero',
+           count(*) FILTER (WHERE NOT ends_with(c_name, '0')) FROM customer
+    UNION ALL SELECT 'name_len',
+           count(*) FILTER (WHERE NOT (length(c_name) BETWEEN 10 AND 18)) FROM customer
+    UNION ALL SELECT 'name_parts',
+           count(*) FILTER (WHERE NOT (len(string_split(c_name, '#')) = 2)) FROM customer
+    UNION ALL SELECT 'key_luhn',
+           count(*) FILTER (WHERE NOT (
+             list_sum(list_transform(range(1, len(s) + 1), i ->
+               CASE WHEN i % 2 = 1 THEN CAST(s[-i] AS INT)
+                    ELSE CASE WHEN 2 * CAST(s[-i] AS INT) > 9
+                              THEN 2 * CAST(s[-i] AS INT) - 9
+                              ELSE 2 * CAST(s[-i] AS INT) END
+               END)) % 10 = 0))
+    FROM (SELECT CAST(c_custkey AS VARCHAR) AS s FROM customer)
+    """,
+)
+def rule_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/size/Luhn rule emissions (ValidationBuilder.scala:120-178,
+    336-338): CONTAINS / STARTSWITH / ENDSWITH / LENGTH BETWEEN / SIZE on
+    a split array / LUHN_CHECK, each counted in the same single-pass
+    aggregate kernel as rule_violation_counts.  The DuckDB oracle
+    re-implements Luhn arithmetically — an independent check that Spark's
+    built-in agrees with the spec."""
+    df = (
+        _read(spark, sf_dir, "customer")
+        .withColumn("c_custkey_s", F.col("c_custkey").cast("string"))
+        .withColumn("c_name_parts", F.split("c_name", "#"))
+    )
+    rules = RuleSet(
+        [
+            field("c_name").starts_with("Customer#").with_id("name_prefix"),
+            field("c_name").not_contains("999").with_id("no_999"),
+            field("c_name").ends_with("0").with_id("ends_zero"),
+            field("c_name").length_between(10, 18).with_id("name_len"),
+            field("c_name_parts").size(2).with_id("name_parts"),
+            field("c_custkey_s").luhn_check().with_id("key_luhn"),
+        ]
+    )
+    wide = df.agg(
+        *[F.count_if(r.column == F.lit(False)).alias(r.rule_id) for r in rules]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r.rule_id).alias("rule_id"),
+                F.col(r.rule_id).alias("violations"),
+            )
+            for r in rules
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("p")).select(
+        "p.rule_id", "p.violations"
+    )
+
+
+@_q(
+    "error_threshold_status",
+    """
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS total,
+             count(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50)) AS qty_v,
+             count(*) FILTER (WHERE NOT (l_discount <= 0.07)) AS disc_v,
+             count(*) FILTER (WHERE NOT (l_extendedprice > 0)) AS price_v
+      FROM lineitem
+    )
+    SELECT 'qty_in_range' AS rule_id, qty_v AS violations, total,
+           CAST(NULL AS DOUBLE) AS threshold,
+           CASE WHEN qty_v = 0 THEN 'pass' ELSE 'fail' END AS status FROM m
+    UNION ALL SELECT 'disc_frac', disc_v, total, 0.3,
+           CASE WHEN total > 0 AND CAST(disc_v AS DOUBLE) / total <= 0.3
+                THEN 'pass' ELSE 'fail' END FROM m
+    UNION ALL SELECT 'disc_abs', disc_v, total, 1000.0,
+           CASE WHEN disc_v <= 1000 THEN 'pass' ELSE 'fail' END FROM m
+    UNION ALL SELECT 'price_positive', price_v, total, 0.0,
+           CASE WHEN total > 0 AND CAST(price_v AS DOUBLE) / total <= 0.0
+                THEN 'pass' ELSE 'fail' END FROM m
+    """,
+)
+def error_threshold_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """errorThreshold semantics (ValidationBuilder.scala:98-101, evaluated
+    in ValidationOperations.scala:20-29): absent ⇒ zero-tolerance; ≥ 1 ⇒
+    absolute error budget; < 1 ⇒ allowed error fraction.  All rules share
+    ONE aggregate pass; the threshold verdicts are scalar post-processing
+    of that single row — at 10^12 rows this stays one scan regardless of
+    rule count."""
+    df = _read(spark, sf_dir, "lineitem")
+    rules = [
+        field("l_quantity").between(1, 50).with_id("qty_in_range"),
+        field("l_discount").less_than_or_equal(0.07).with_id("disc_frac").threshold(0.3),
+        field("l_discount").less_than_or_equal(0.07).with_id("disc_abs").threshold(1000.0),
+        field("l_extendedprice").greater_than(0).with_id("price_positive").threshold(0.0),
+    ]
+    wide = df.agg(
+        F.count(F.lit(1)).alias("__total"),
+        *[F.count_if(r.column == F.lit(False)).alias(r.rule_id) for r in rules],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r.rule_id).alias("rule_id"),
+                F.col(r.rule_id).alias("violations"),
+                F.lit(r.error_threshold).cast("double").alias("threshold"),
+            )
+            for r in rules
+        ]
+    )
+    long = wide.select(
+        F.col("__total").alias("total"), F.explode(pairs).alias("p")
+    ).select("p.rule_id", "p.violations", "total", "p.threshold")
+    passed = (
+        F.when(F.col("threshold").isNull(), F.col("violations") == 0)
+        .when(F.col("threshold") >= 1, F.col("violations") <= F.col("threshold"))
+        .otherwise(
+            (F.col("total") > 0)
+            & (F.col("violations") / F.col("total") <= F.col("threshold"))
+        )
+    )
+    return long.withColumn(
+        "status", F.when(passed, F.lit("pass")).otherwise(F.lit("fail"))
+    )
+
+
+@_q(
     "groupby_validation",
     """
     SELECT l_returnflag, l_linestatus,
@@ -243,6 +374,53 @@ def upstream_join_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "customer_c_name",
         (F.col("customer_c_acctbal") >= 0).alias("acct_ok"),
+    )
+
+
+@_q(
+    "nested_upstream_validation",
+    """
+    SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS orders_cnt,
+           count(*) FILTER (WHERE NOT (c.c_acctbal >= 0)) AS acct_violations
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def nested_upstream_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upstream validation nested inside upstream validation
+    (ValidationOperations.scala:62-67, PlanProcessorTest.scala:247-253):
+    customer (itself joined to nation) is folded onto orders via
+    apply_upstream_chain, producing the reference's recursive
+    ``customer_nation_*`` prefixes; rule metrics aggregate per nation.
+    Both dimension levels are broadcast — the orders fact side never
+    shuffles for the joins (one exchange for the final groupBy only)."""
+    from .operators.validation import UpstreamSpec, apply_upstream_chain
+
+    orders = _read(spark, sf_dir, "orders")
+    spec = UpstreamSpec(
+        upstream=_read(spark, sf_dir, "customer"),
+        name="customer",
+        join_expr="o_custkey = customer_c_custkey",
+        join_type="inner",
+        broadcast=True,
+        nested=UpstreamSpec(
+            upstream=_read(spark, sf_dir, "nation"),
+            name="nation",
+            join_expr="c_nationkey = nation_n_nationkey",
+            join_type="inner",
+            broadcast=True,
+        ),
+    )
+    joined = apply_upstream_chain(orders, spec)
+    return joined.groupBy(
+        F.col("customer_nation_n_name").alias("nation")
+    ).agg(
+        F.count(F.lit(1)).alias("orders_cnt"),
+        F.count_if(~(F.col("customer_c_acctbal") >= 0)).alias(
+            "acct_violations"
+        ),
     )
 
 
