@@ -40,6 +40,11 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # real-cluster form of the BLAS pin applied in get_spark (local-mode
+    # workers inherit the driver env instead)
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
 }
 
 
@@ -103,6 +108,15 @@ def get_spark(
     ``ship_package`` adds this package as a py-file so executor Python
     workers can import it no matter where the driver loaded it from.
     """
+    # One BLAS/OpenMP thread per Python worker: Spark already runs one
+    # worker per task slot, so the parallelism budget is spent.  Unpinned,
+    # OpenBLAS spawns a thread per CORE in EVERY worker (32 threads x N
+    # workers on this box) and the numpy kernels (langid/perplexity
+    # matmuls, LSH/IVF assignment) thrash on context switches — measured
+    # as ~20% extra core-time per turn at local[16].  Same practice as
+    # setting OMP_NUM_THREADS=1 on real executors.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_GRAFT_CPUS" in os.environ:
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"

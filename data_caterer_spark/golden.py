@@ -300,15 +300,15 @@ def ivf_knn_golden_sql(
     vecs = {r[0]: [float(x) for x in r[1]] for r in recs}
     dim = len(recs[0][1])
 
-    from .operators.similarity import kmeans_fit
+    from .operators.similarity import kmeans_fit, nearest_lists
 
     x = np.array([[float(v) for v in r[1]] for r in recs], dtype=np.float64)
-    # the SAME training kernel the Spark path runs on its driver-side
-    # sample (sample == whole table at oracle SFs), so quantizers match
+    # the SAME training + assignment kernels the Spark path runs (sample
+    # == whole table at oracle SFs), so quantizers and list assignments
+    # match bit-for-bit by construction
     cent = kmeans_fit(x, n_lists, iters=iters, seed=seed)
     mat = np.array([vecs[i] for i in ids], dtype=np.float64)
-    d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    order = np.argsort(d2, axis=1)[:, :probes]
+    order = nearest_lists(mat, cent, probes)
     lists: dict[int, list[int]] = {}
     probe_lists: dict[int, list[int]] = {}
     for row, vid in enumerate(ids):

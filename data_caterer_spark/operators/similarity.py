@@ -379,6 +379,30 @@ def embedding_neardup_pairs(
 # --------------------------------------------------------------------------
 
 
+def sq_dists(x: "np.ndarray", cent: "np.ndarray") -> "np.ndarray":
+    """Squared euclidean distances, (rows, lists) — one GEMM instead of a
+    broadcast-subtract temp of shape (rows, lists, dim).  The naive form
+    materializes rows*lists*dim float64s per Arrow batch (~160 MB at
+    batch=10k, lists=32, dim=64); the |x|^2 + |c|^2 - 2x.c^T identity is
+    ~10x faster and O(rows*lists) memory.  SHARED by the k-means trainer,
+    the Spark assignment UDF, and the golden replay, so any float rounding
+    difference vs the naive form is applied identically on every path
+    (argmin/argsort decisions stay consistent by construction)."""
+    x2 = (x * x).sum(axis=1)[:, None]
+    c2 = (cent * cent).sum(axis=1)[None, :]
+    return np.maximum(x2 + c2 - 2.0 * (x @ cent.T), 0.0)
+
+
+def nearest_lists(
+    mat: "np.ndarray", cent: "np.ndarray", probes: int
+) -> "np.ndarray":
+    """Indices of the ``probes`` nearest centroids per row, nearest first
+    (ties broken by lower list id, numpy stable argsort) — the SHARED
+    assignment kernel for the Spark UDF and the golden replay."""
+    d2 = sq_dists(mat, cent)
+    return np.argsort(d2, axis=1, kind="stable")[:, :probes]
+
+
 def kmeans_fit(
     x: "np.ndarray", n_lists: int, iters: int = 5, seed: int = 42
 ) -> "np.ndarray":
@@ -401,7 +425,7 @@ def kmeans_fit(
     rng = np.random.RandomState(seed)
     cent = x[np.sort(rng.choice(len(x), size=n_lists, replace=False))].copy()
     for _ in range(iters):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d2 = sq_dists(x, cent)
         assign = d2.argmin(axis=1)
         new = np.zeros_like(cent)
         for c in range(n_lists):
@@ -467,8 +491,7 @@ def with_ivf_list(
                 [v if v is not None else np.zeros(dim) for v in series],
                 dtype=np.float64,
             )
-            d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            order = np.argsort(d2, axis=1)[:, :n_probes].astype(np.int32)
+            order = nearest_lists(mat, cent, n_probes).astype(np.int32)
             yield pd.Series(list(order))
 
     return df.withColumn(out_col, _assign(F.col(vec_col).cast("array<double>")))
