@@ -89,20 +89,55 @@ def validate_rules(
         )
     row = df.agg(*aggs).collect()[0]
     total = row["__total"]
+    failed_idx = [
+        i for i in range(len(rules)) if row[f"__err_{i}"] > 0
+    ]
+    # Error samples for ALL failed rules in ONE extra scan (the reference
+    # surfaces the first numSampleErrorRecords=5 failing rows per rule —
+    # ValidationProcessor.scala:133, api Constants.scala:264 — via one
+    # filtered scan per rule; at 10^12 rows x N failing rules that is N
+    # scans).  Here: per row, the array of failed rule indices -> explode
+    # only failing rows -> two-stage bounded collect (per input partition
+    # first, then global), so the shuffle carries at most
+    # partitions x rules x k sample rows no matter how many rows fail.
+    samples_by_rule: dict[int, list[dict[str, Any]]] = {}
+    if failed_idx and num_sample_errors > 0:
+        fail_arr = F.array_compact(
+            F.array(
+                *[
+                    F.when(rules[i].column == F.lit(False), F.lit(i))
+                    for i in failed_idx
+                ]
+            )
+        )
+        per_part = (
+            df.withColumn("__failed", fail_arr)
+            .where(F.size("__failed") > 0)
+            .select(
+                F.explode("__failed").alias("__rid"),
+                F.struct(*df.columns).alias("__row"),
+                F.spark_partition_id().alias("__pid"),
+            )
+            .groupBy("__rid", "__pid")
+            .agg(
+                F.slice(
+                    F.collect_list("__row"), 1, num_sample_errors
+                ).alias("__rows")
+            )
+        )
+        gathered = per_part.groupBy("__rid").agg(
+            F.slice(
+                F.flatten(F.collect_list("__rows")), 1, num_sample_errors
+            ).alias("__rows")
+        )
+        for rec in gathered.collect():
+            samples_by_rule[rec["__rid"]] = [
+                r.asDict() for r in rec["__rows"]
+            ]
     results = []
     for i, r in enumerate(rules):
         num_errors = row[f"__err_{i}"]
         ok = _threshold_pass(num_errors, total, r.error_threshold)
-        samples: list[dict[str, Any]] = []
-        if num_errors > 0 and num_sample_errors > 0:
-            # reference surfaces the first numSampleErrorRecords=5 failing rows
-            # (ValidationProcessor.scala:133, api Constants.scala:264)
-            samples = [
-                row.asDict()
-                for row in df.where(r.column == F.lit(False))
-                .limit(num_sample_errors)
-                .collect()
-            ]
         results.append(
             ValidationResult(
                 rule_id=r.rule_id,
@@ -110,7 +145,7 @@ def validate_rules(
                 num_errors=num_errors,
                 total=total,
                 description=r.description,
-                sample_errors=samples,
+                sample_errors=samples_by_rule.get(i, []),
             )
         )
     return results

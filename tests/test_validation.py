@@ -206,3 +206,44 @@ def test_nested_upstream_validation(spark, sf_dir):
         expr_rule("nation_resolved", "ISNOTNULL(cust_nat_n_name)"),
     )
     assert res.is_success, res
+
+
+def test_sample_collection_is_single_pass(spark):
+    """N failing rules must not trigger N sample scans: the sample gather
+    is one bounded two-stage job, so total Spark jobs are CONSTANT in the
+    number of failing rules (AQE may split a query into a few jobs, but
+    per-rule scans would add one job per extra rule)."""
+    df = spark.range(0, 10_000).selectExpr(
+        "id", "id % 7 as a", "id % 11 as b", "cast(id % 13 as double) as c"
+    )
+    all_rules = [
+        field("a").less_than(1).with_id("r_a"),
+        field("b").less_than(2).with_id("r_b"),
+        field("c").less_than(3.0).with_id("r_c"),
+        field("a").greater_than(5).with_id("r_a2"),
+        field("b").greater_than(8).with_id("r_b2"),
+    ]
+    sc = spark.sparkContext
+
+    def jobs_for(rules, tag):
+        group = f"validate-rules-job-count-{tag}"
+        sc.setJobGroup(group, "single-pass sample test", False)
+        try:
+            results = validate_rules(df, rules, num_sample_errors=5)
+        finally:
+            sc.setJobGroup("", "", False)
+        return results, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    _, jobs_one = jobs_for(all_rules[:1], "one")
+    results, jobs_five = jobs_for(all_rules, "five")
+    assert jobs_five == jobs_one, (
+        f"job count grew with rule count: {jobs_one} -> {jobs_five}"
+    )
+    for r in results:
+        assert not r.is_success
+        assert len(r.sample_errors) == 5
+        # every sample genuinely violates its rule
+        if r.rule_id == "r_a":
+            assert all(s["a"] >= 1 for s in r.sample_errors)
+        if r.rule_id == "r_b2":
+            assert all(s["b"] <= 8 for s in r.sample_errors)
