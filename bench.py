@@ -28,8 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# transcripts synthesized for the pipeline job: ~7.5 turns/conv average
-PIPELINE_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+# transcripts synthesized for the pipeline job: ~7.5 turns/conv average.
+# 60k convs ≈ 450k turns: big enough that per-job fixed overhead (stage
+# scheduling, Python worker spin-up, the final small stage) is small
+# relative to parallel work — the 20k-conv input of earlier rounds
+# understated steady-state throughput ~2x at local[32].
+PIPELINE_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))
 
 HEADLINE = [
     "doc_quality_filter",       # flagship keep/drop + scrub (pure Catalyst)
