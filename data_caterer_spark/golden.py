@@ -637,3 +637,101 @@ def conversation_rollup_golden_sql(
         + ", ".join(vals)
         + ") AS g(conv_id, n_turns, n_kept, conv_keep)"
     )
+
+
+def seeded_table_golden_rows(
+    n_rows: int = 1000, n_parts: int = 4
+) -> list[tuple]:
+    """Independent replay of ``generate_seeded_table``: the exact value
+    stream of every seeded Spark expression the generator emits, via the
+    pure-Python ``sparkrng.XORShiftRandom`` (bit-exact vs Spark RAND —
+    0/10,000 cell mismatches measured).
+
+    Stream bookkeeping mirrors Catalyst's evaluation semantics:
+
+    * every ``RAND(seed)`` occurrence is its own instance seeded
+      ``seed + partitionIndex`` (``spark.range(0, n, 1, parts)`` splits
+      evenly, so partition p holds rows [p*n/parts, (p+1)*n/parts));
+    * the null-injection wrapper ``CASE WHEN RAND(44) <= p THEN NULL
+      ELSE ...RAND(44)... END`` evaluates its ELSE lazily, so the value
+      stream advances only on non-null rows while the condition stream
+      advances every row;
+    * the regex renderer derives seed 48 for the single ``[0-9]`` class
+      draw (47 + 1) and evaluates it 5x per row inside TRANSFORM;
+    * struct subfield seeds derive as parent + 31*(i+1): tier=80,
+      limits=111, daily=142;
+    * ROUND follows BigDecimal.valueOf(double) HALF_UP (repr-based),
+      matching Spark's Round on DoubleType.
+    """
+    import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from .sparkrng import XORShiftRandom
+
+    def rnd(x: float, scale: int) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+            )
+        )
+
+    out = []
+    per = n_rows // n_parts
+    d_lo = datetime.date(2015, 1, 1)
+    dd = (datetime.date(2024, 12, 31) - d_lo).days
+    for p in range(n_parts):
+        acct = XORShiftRandom(42, p)
+        status = XORShiftRandom(43, p)
+        bal_c = XORShiftRandom(44, p)
+        bal_v = XORShiftRandom(44, p)
+        opened = XORShiftRandom(45, p)
+        fee = XORShiftRandom(46, p)
+        ref = XORShiftRandom(48, p)
+        score = XORShiftRandom(48, p)
+        tier = XORShiftRandom(80, p)
+        daily = XORShiftRandom(142, p)
+        for _ in range(per):
+            a = int(rnd(acct.next_double() * 1000000000 + 1000000000, 0))
+            st = ["open", "closed", "pending"][int(status.next_double() * 3)]
+            bal = (
+                None
+                if bal_c.next_double() <= 0.05
+                else rnd(bal_v.next_double() * 10000 + 0, 4)
+            )
+            op = d_lo + datetime.timedelta(
+                days=int(opened.next_double() * dd)
+            )
+            rich = None if bal is None else bal > 9000
+            fe = rnd(fee.next_double() * 500 + 0, 2)
+            rc = "ACC100" + "".join(
+                "0123456789"[int(ref.next_double() * 10)] for _ in range(5)
+            )
+            sc = rnd(score.next_gaussian() * 5.0 + 100.0, 4)
+            ti = ["gold", "silver"][int(tier.next_double() * 2)]
+            da = int(rnd(daily.next_double() * 899 + 100, 0))
+            dj = '{"tier":"%s","limits":{"daily":%d}}' % (ti, da)
+            out.append((a, st, bal, op, op.year, rich, fe, rc, sc, dj))
+    return out
+
+
+def seeded_table_golden_sql(n_rows: int = 1000, n_parts: int = 4) -> str:
+    """The replayed generation table as a typed VALUES oracle."""
+    vals = []
+    for a, st, bal, op, yr, rich, fe, rc, sc, dj in seeded_table_golden_rows(
+        n_rows, n_parts
+    ):
+        bal_s = "CAST(NULL AS DOUBLE)" if bal is None else f"CAST({bal!r} AS DOUBLE)"
+        # nullable boolean and decimal(8,2) travel as strings/doubles in
+        # the driver query (see generate_seeded_table_query) — mirror that
+        rich_s = "null" if rich is None else ("true" if rich else "false")
+        vals.append(
+            f"(CAST({a} AS BIGINT), '{st}', {bal_s}, DATE '{op.isoformat()}', "
+            f"CAST({yr} AS INT), '{rich_s}', CAST({fe!r} AS DOUBLE), "
+            f"'{rc}', CAST({sc!r} AS DOUBLE), '{dj}')"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS g(acct_id, status, balance, opened, year, is_rich, fee, "
+        "ref_code, score, details)"
+    )

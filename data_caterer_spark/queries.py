@@ -1428,15 +1428,42 @@ def generate_seeded_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generate(spark, fields, 1000, num_partitions=4)
 
 
-@_q("generate_seeded_table")
+def _seeded_table_golden_oracle() -> str:
+    from .golden import seeded_table_golden_sql
+
+    return seeded_table_golden_sql()
+
+
+@_q("generate_seeded_table", _seeded_table_golden_oracle)
 def generate_seeded_table_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing view of :func:`generate_seeded_table`: identical rows,
     with the nested struct serialized via ``to_json`` so the harness's
     pandas canonicalizer (which sorts on every output column) never sees
     an unhashable dict cell.  The typed struct schema itself is asserted
-    in pytest and by ``generate_typed_invariants``."""
+    in pytest and by ``generate_typed_invariants``.
+
+    Oracle: ``golden.seeded_table_golden_sql`` — an independent replay of
+    every seeded Spark RAND/RANDN stream via the pure-Python
+    ``sparkrng.XORShiftRandom`` (the last rows-only query in the catalog
+    becomes value-hash-checked).  Two harness-type normalizations (values
+    unchanged): fee DECIMAL(8,2) -> double (DuckDB's pandas bridge turns
+    decimals into float64) and the nullable boolean -> 'true'/'false'/
+    'null' strings (None vs NaN object cells stringify differently)."""
     df = generate_seeded_table(spark, sf_dir)
-    return df.withColumn("details", F.to_json("details"))
+    return df.select(
+        "acct_id",
+        "status",
+        "balance",
+        "opened",
+        "year",
+        F.coalesce(F.col("is_rich").cast("string"), F.lit("null")).alias(
+            "is_rich"
+        ),
+        F.col("fee").cast("double").alias("fee"),
+        "ref_code",
+        "score",
+        F.to_json("details").alias("details"),
+    )
 
 
 @_q(
