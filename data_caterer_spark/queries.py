@@ -2189,3 +2189,63 @@ def json_schema_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.coalesce(F.col("j.k"), F.lit(0)).cast("long")).alias("sum_k"),
     )
+
+
+@_q(
+    "wait_readiness_probes",
+    """
+    SELECT 'data_orders_high' AS probe,
+           EXISTS(SELECT 1 FROM orders WHERE o_totalprice > 100000) AS met
+    UNION ALL SELECT 'data_orders_impossible',
+           EXISTS(SELECT 1 FROM orders WHERE o_totalprice < 0)
+    UNION ALL SELECT 'file_lineitem', TRUE
+    UNION ALL SELECT 'file_missing', FALSE
+    UNION ALL SELECT 'pause', TRUE
+    """,
+)
+def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wait-condition surface (ValidationWaitImplicits.scala:21-95) as a
+    driver-verifiable probe table: the data-exists probe (read + where +
+    limit(1) short-circuit — pushdown makes it metadata-cheap), the
+    file-exists gate, and the pause gate, each evaluated once
+    (non-retryable) so the oracle is pure EXISTS logic with no timing."""
+    from .operators.waits import (
+        DataExistsWaitCondition,
+        FileExistsWaitCondition,
+        PauseWaitCondition,
+    )
+
+    probes = [
+        (
+            "data_orders_high",
+            DataExistsWaitCondition(
+                path=f"{sf_dir}/orders.parquet",
+                expr="o_totalprice > 100000",
+                is_retryable=False,
+            ),
+        ),
+        (
+            "data_orders_impossible",
+            DataExistsWaitCondition(
+                path=f"{sf_dir}/orders.parquet",
+                expr="o_totalprice < 0",
+                is_retryable=False,
+            ),
+        ),
+        (
+            "file_lineitem",
+            FileExistsWaitCondition(
+                path=f"{sf_dir}/lineitem.parquet", is_retryable=False
+            ),
+        ),
+        (
+            "file_missing",
+            FileExistsWaitCondition(
+                path=f"{sf_dir}/__no_such_table__.parquet",
+                is_retryable=False,
+            ),
+        ),
+        ("pause", PauseWaitCondition(pause_in_seconds=0.0)),
+    ]
+    rows = [(name, bool(cond.wait(spark))) for name, cond in probes]
+    return spark.createDataFrame(rows, "probe string, met boolean")
