@@ -281,14 +281,19 @@ def lsh_knn_golden_sql(
 def ivf_knn_golden_sql(
     sf_dir: str | None = None,
     k: int = 3,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     probes: int = 2,
     iters: int = 5,
     seed: int = 42,
+    rows_per_list: int = 128,
+    sample_rows: int = 10_000,
 ) -> str:
-    """Independent replay of the IVF knn join: same numpy k-means on the
-    same storage-ordered sample, dict-based inverted lists (query-side
+    """Independent replay of the IVF knn join: same n_lists derivation
+    (rows-per-list), same seeded md5-threshold training sample in id
+    order, same numpy k-means, dict-based inverted lists (query-side
     multiprobe), fold-order-exact cosine rescoring."""
+    import hashlib
+
     import duckdb
     import numpy as np
 
@@ -300,13 +305,28 @@ def ivf_knn_golden_sql(
     vecs = {r[0]: [float(x) for x in r[1]] for r in recs}
     dim = len(recs[0][1])
 
-    from .operators.similarity import kmeans_fit, nearest_lists
+    from .operators.sampling import fraction_threshold
+    from .operators.similarity import (
+        TRAIN_ROWS_PER_LIST,
+        derive_n_lists,
+        kmeans_fit,
+        nearest_lists,
+    )
 
-    x = np.array([[float(v) for v in r[1]] for r in recs], dtype=np.float64)
-    # the SAME training + assignment kernels the Spark path runs (sample
-    # == whole table at oracle SFs), so quantizers and list assignments
-    # match bit-for-bit by construction
-    cent = kmeans_fit(x, n_lists, iters=iters, seed=seed)
+    n = len(ids)
+    if n_lists is None:
+        n_lists = derive_n_lists(n, rows_per_list)
+    # the SAME sample rule + training kernel the Spark path runs:
+    # md5("{seed}\x1f{id}")[:8] < threshold, kmeans input in id order
+    eff_sample = max(sample_rows, TRAIN_ROWS_PER_LIST * n_lists)
+    thr = fraction_threshold(min(1.0, eff_sample / max(n, 1)))
+    samp = sorted(
+        vid
+        for vid in ids
+        if hashlib.md5(f"{seed}\x1f{vid}".encode()).hexdigest()[:8] < thr
+    )
+    x = np.array([vecs[i] for i in samp], dtype=np.float64)
+    cent = kmeans_fit(x, min(n_lists, len(x)), iters=iters, seed=seed)
     mat = np.array([vecs[i] for i in ids], dtype=np.float64)
     order = nearest_lists(mat, cent, probes)
     lists: dict[int, list[int]] = {}

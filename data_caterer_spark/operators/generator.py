@@ -359,11 +359,19 @@ def with_distributed_ordinal(df: DataFrame, out_col: str = "__ord") -> DataFrame
     )
 
 
+#: key-set size above which the ordinal join goes distributed instead of
+#: broadcast — millions of composite keys exceed broadcast limits and OOM
+#: the driver/executors; the reference's zipWithIndex join is always
+#: distributed (``ForeignKeyUtil.scala:242-252``)
+FK_BROADCAST_MAX_KEYS = 1_000_000
+
+
 def assign_foreign_key(
     target: DataFrame,
     source: DataFrame,
     source_col: str | Sequence[str],
     target_col: str | Sequence[str],
+    broadcast_max_keys: int = FK_BROADCAST_MAX_KEYS,
 ) -> DataFrame:
     """Overwrite ``target_col`` with values drawn from the source key set
     by ORDINAL join — the reference's skew-free zipWithIndex trick
@@ -397,7 +405,11 @@ def assign_foreign_key(
     tgt = with_distributed_ordinal(target, "__ord").withColumn(
         "__ord", F.pmod(F.col("__ord"), F.lit(n))
     )
-    out = tgt.join(F.broadcast(keys), "__ord", "left")
+    # broadcast only a driver-safe key set (count is already in hand); a
+    # large key set takes the distributed ordinal equi-join — dense ints,
+    # no skew, the reference's zipWithIndex shape
+    keyside = F.broadcast(keys) if n <= broadcast_max_keys else keys
+    out = tgt.join(keyside, "__ord", "left")
     for t, v in zip(tgt_cols, vals):
         out = out.withColumn(t, F.col(v))
     return out.drop("__ord", *vals)

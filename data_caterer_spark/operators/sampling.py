@@ -31,10 +31,22 @@ from pyspark.sql import functions as F
 _SEP = "\x1f"
 
 
+#: threshold strictly above every 8-hex-char bucket — fraction >= 1.0 keeps
+#: ALL keys (a clamp to 'ffffffff' with a strict '<' compare would silently
+#: drop the ~2^-32 of keys hashing exactly to the max bucket)
+_KEEP_ALL = "g"
+
+
 def fraction_threshold(fraction: float) -> str:
-    """``fraction`` in [0, 1] -> 8-char lowercase hex threshold."""
+    """``fraction`` in [0, 1] -> lowercase hex threshold for a strict ``<``
+    compare against the first 8 digest chars.  ``fraction >= 1.0`` returns a
+    sentinel that sorts after every hex string, so 1.0 is exactly the
+    identity sample."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return _KEEP_ALL
+    # clamp guards float rounding for fractions infinitesimally below 1.0
     return format(min(int(fraction * 16**8), 16**8 - 1), "08x")
 
 

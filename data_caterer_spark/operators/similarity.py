@@ -439,6 +439,27 @@ def kmeans_fit(
     return cent
 
 
+#: FAISS guidance: >= ~39 training points per centroid; we budget 40
+TRAIN_ROWS_PER_LIST = 40
+
+
+def derive_n_lists(
+    n_rows: int,
+    rows_per_list: int = 128,
+    min_lists: int = 4,
+    max_lists: int = 65_536,
+) -> int:
+    """Size the inverted-list count from the input: a FIXED ``n_lists``
+    makes the per-list candidate self-join O(n^2/L) — quadratic at 100x
+    data.  Targeting a constant rows-per-list keeps candidate pairs per
+    row ~rows_per_list/2, i.e. the join stays LINEAR in n.  ``max_lists``
+    caps the driver-side training sample (40 rows/list) at ~2.6M rows —
+    the FAISS regime for 10^9-row tables."""
+    if n_rows <= 0:
+        return min_lists
+    return max(min_lists, min(max_lists, -(-n_rows // rows_per_list)))
+
+
 def train_ivf_centroids(
     df: DataFrame,
     dim: int,
@@ -447,6 +468,8 @@ def train_ivf_centroids(
     sample_rows: int = 10_000,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str | None = None,
+    n_rows: int | None = None,
 ) -> "np.ndarray":
     """Coarse quantizer training: k-means on a DRIVER-SIDE sample.
 
@@ -455,18 +478,42 @@ def train_ivf_centroids(
     (driver numpy Lloyd iterations — at 100 TB you sample ~100k rows, not
     the table), and the full-table work is just assignment, which
     :func:`with_ivf_list` does as one broadcast matmul per Arrow batch.
-    Deterministic: seeded sample-point init (see :func:`kmeans_fit`),
-    sample = the first N rows in storage order.
+
+    With ``id_col`` the sample is a seeded md5-threshold hash sample
+    (``operators.sampling``) ordered by id — UNBIASED on time-/source-
+    clustered storage layouts and stable across cluster sizes.  A
+    storage-prefix ``limit(N)`` sample (the ``id_col=None`` fallback, for
+    inputs without a stable key) is biased on sorted inputs: all
+    centroids land in the leading cluster and the hot trailing lists
+    re-create the quadratic candidate blocks balanced training avoids.
+    Deterministic either way: seeded sample-point init (:func:`kmeans_fit`).
     """
-    # deterministic bounded sample: first N rows in file order (sample
-    # BEFORE any repartition so the slice is storage-stable)
-    sample = (
-        df.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .limit(sample_rows)
-        .collect()
-    )
+    if id_col is not None:
+        from .sampling import fraction_threshold, hash_bucket
+
+        if n_rows is None:
+            n_rows = df.count()
+        frac = min(1.0, sample_rows / max(n_rows, 1))
+        sample = (
+            df.select(
+                F.col(id_col).alias("i"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .where(hash_bucket(["i"], seed) < F.lit(fraction_threshold(frac)))
+            .collect()
+        )
+        # id order, not storage order: layout-independent kmeans input
+        sample.sort(key=lambda r: r["i"])
+    else:
+        # deterministic bounded sample: first N rows in file order (sample
+        # BEFORE any repartition so the slice is storage-stable)
+        sample = (
+            df.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .limit(sample_rows)
+            .collect()
+        )
     x = np.array([r["v"] for r in sample], dtype=np.float64)
-    return kmeans_fit(x, n_lists, iters=iters, seed=seed)
+    return kmeans_fit(x, min(n_lists, len(x)), iters=iters, seed=seed)
 
 
 def with_ivf_list(
@@ -501,12 +548,14 @@ def ivf_knn_join(
     left: DataFrame,
     dim: int,
     k: int = 5,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     probes: int = 2,
     iters: int = 5,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_list: int = 128,
+    sample_rows: int = 10_000,
 ) -> DataFrame:
     """Approximate self knn-join via inverted lists: candidates meet only
     inside a shared list (equi-join on the list id), with multiprobe on
@@ -514,11 +563,30 @@ def ivf_knn_join(
     is indexed under its single nearest — the FAISS search pattern, so
     the join fans out by probes on one side, not both).
 
+    ``n_lists=None`` (default) derives the list count from the input size
+    (:func:`derive_n_lists` — constant rows-per-list keeps the candidate
+    join linear in n), and the training sample is a seeded hash sample
+    keyed on ``id_col`` (unbiased on clustered layouts).  The one extra
+    ``count()`` this costs is a columnless scan — negligible next to the
+    signature/join stages.
+
     Same shuffle discipline as :func:`lsh_knn_join`: the list join
     carries (list, id) only; vectors re-join after candidate dedup.
     """
+    n_rows = left.count()
+    if n_lists is None:
+        n_lists = derive_n_lists(n_rows, rows_per_list)
+    eff_sample = max(sample_rows, TRAIN_ROWS_PER_LIST * n_lists)
     centroids = train_ivf_centroids(
-        left, dim, n_lists=n_lists, iters=iters, seed=seed, vec_col=vec_col
+        left,
+        dim,
+        n_lists=n_lists,
+        iters=iters,
+        seed=seed,
+        sample_rows=eff_sample,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_rows=n_rows,
     )
     assigned = with_ivf_list(left, centroids, vec_col, probes=probes)
     slim = assigned.select(F.col(id_col).alias("id"), "ivf_list").persist()

@@ -1112,24 +1112,25 @@ def _lsh_knn_golden_oracle() -> str:
 def _ivf_knn_golden_oracle() -> str:
     from .golden import ivf_knn_golden_sql
 
-    return ivf_knn_golden_sql(n_lists=32)
+    return ivf_knn_golden_sql()
 
 
 @_q("ivf_knn_embeddings", _ivf_knn_golden_oracle)
 def ivf_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate knn join via inverted-file (IVF) coarse quantization —
     the FAISS-style alternative scale path to LSH: k-means centroids from
-    a bounded sample, one broadcast-matmul list assignment per Arrow
-    batch, candidates equi-joined on the list id with query-side
-    multiprobe.  Oracle = the independent single-process replay
-    (golden.ivf_knn_golden_sql)."""
+    a seeded hash-sampled training set, one broadcast-matmul list
+    assignment per Arrow batch, candidates equi-joined on the list id
+    with query-side multiprobe.  ``n_lists`` derives from the input size
+    (constant rows-per-list -> candidate join linear in n) and the
+    training sample is md5-threshold hash-sampled on vec_id — unbiased on
+    clustered storage layouts.  Oracle = the independent single-process
+    replay (golden.ivf_knn_golden_sql, same derivation + sample rule)."""
     df = _read(spark, sf_dir, "embeddings")
     dim = len(df.select("embedding").first()["embedding"])
-    # NOTE: centroids train on the raw storage-ordered scan; fan-out for
-    # the assignment/join stages happens inside via persisted projections.
-    # n_lists=32: balanced point-init lists keep per-list candidate blocks
-    # ~2 orders below brute force (the oracle replays the same params)
-    return SIM.ivf_knn_join(df, dim, k=3, n_lists=32)
+    # centroids train on a hash sample of the raw scan; fan-out for the
+    # assignment/join stages happens inside via persisted projections
+    return SIM.ivf_knn_join(df, dim, k=3)
 
 
 @_q("lsh_knn_embeddings", _lsh_knn_golden_oracle)

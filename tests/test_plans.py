@@ -149,3 +149,36 @@ def test_fk_assignment_has_no_window(spark):
     plan = _plan(assign_foreign_key(tgt, src, "k", "k"))
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_fk_assignment_large_keyset_not_broadcast(spark):
+    """Above the key-count threshold the ordinal join must NOT carry a
+    broadcast hint: millions of composite keys would OOM the driver; the
+    distributed equi-join on the dense ordinal is the scale path
+    (reference parity: ForeignKeyUtil.scala:242-252 zipWithIndex join)."""
+    from data_caterer_spark.operators.generator import (
+        FieldSpec,
+        assign_foreign_key,
+        generate,
+    )
+
+    src = spark.range(0, 50, 1, 4).selectExpr("id AS k")
+    tgt = generate(
+        spark, [FieldSpec("k", "long"), FieldSpec("v", "int", min=0, max=9)],
+        100, num_partitions=4,
+    )
+    # isolate OUR hint from Spark's size-based auto-broadcast (which is
+    # free to fire on genuinely small key sets — that's AQE's call, and at
+    # a million keys the size estimate disqualifies it on its own)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = assign_foreign_key(tgt, src, "k", "k", broadcast_max_keys=10)
+        plan = _plan(out)
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" not in plan
+        # FK semantics intact: every assigned key comes from the source set
+        n_bad = out.where("k < 0 OR k >= 50 OR k IS NULL").count()
+        assert n_bad == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

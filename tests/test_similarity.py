@@ -81,6 +81,67 @@ def test_ivf_knn_recall_and_shape(emb):
     assert recall >= 0.4, recall
 
 
+def test_ivf_derive_n_lists_scaling():
+    # constant rows-per-list: list count grows linearly with input size so
+    # the per-list candidate self-join stays linear in n
+    assert S.derive_n_lists(0) == 4
+    assert S.derive_n_lists(1_000) == 8  # ceil(1000/128)
+    assert S.derive_n_lists(1_000_000) == 7813
+    assert S.derive_n_lists(10**10) == 65_536  # driver-sample cap
+    assert S.derive_n_lists(1_000, rows_per_list=100) == 10
+
+
+def test_ivf_hash_sample_balances_clustered_input(spark):
+    """Training on a seeded hash sample keeps inverted lists near-balanced
+    even when storage order is cluster-sorted — the case where a
+    storage-prefix limit(N) sample sees ONLY the leading cluster and every
+    trailing row funnels into a handful of hot lists (quadratic candidate
+    blocks at scale)."""
+    rng = np.random.RandomState(7)
+    dim, per_cluster, n_clusters = 8, 250, 4
+    rows = []
+    vid = 0
+    for c in range(n_clusters):  # storage order == cluster order (sorted)
+        center = rng.normal(0, 10, dim)
+        for _ in range(per_cluster):
+            vec = [float(x) for x in center + rng.normal(0, 0.5, dim)]
+            rows.append((vid, vec))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n = len(rows)
+    n_lists = 8
+    # hash-sampled training (the shipped path): sample ~60% of rows
+    cent = S.train_ivf_centroids(
+        df, dim, n_lists=n_lists, sample_rows=int(n * 0.6),
+        id_col="vec_id", n_rows=n,
+    )
+    assigned = S.with_ivf_list(df, cent, probes=1)
+    occ = {
+        r["l"]: r["count"]
+        for r in assigned.select(F.element_at("ivf_list", 1).alias("l"))
+        .groupBy("l").count().collect()
+    }
+    hash_max = max(occ.values())
+    # prefix training (the biased fallback) on the same budget: sees only
+    # the first clusters
+    cent_prefix = S.train_ivf_centroids(
+        df, dim, n_lists=n_lists, sample_rows=int(n * 0.25)
+    )
+    occ_p = {
+        r["l"]: r["count"]
+        for r in S.with_ivf_list(df, cent_prefix, probes=1)
+        .select(F.element_at("ivf_list", 1).alias("l"))
+        .groupBy("l").count().collect()
+    }
+    prefix_max = max(occ_p.values())
+    mean = n / n_lists
+    # balanced: no list holds more than 3x its fair share
+    assert hash_max <= 3 * mean, (hash_max, mean)
+    # and strictly better than the biased prefix sample, which dumps the
+    # unseen clusters into few lists
+    assert hash_max <= prefix_max, (hash_max, prefix_max)
+
+
 def test_multiprobe_improves_recall(emb):
     dim = len(emb.first()["embedding"])
     sample = emb.limit(200)
