@@ -2003,6 +2003,67 @@ def write_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+@_q(
+    "jdbc_roundtrip_counts",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_linenumber = 1
+    GROUP BY l_returnflag
+    """,
+)
+def jdbc_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC connector verification over embedded Derby (the jar pyspark
+    bundles): a lineitem slice written through ``write_jdbc`` (overwrite
+    save-mode, bounded connection count, batched inserts —
+    SinkFactory.scala:20-44,82-83) then read back through ``read_jdbc``
+    as a range-partitioned parallel scan and re-aggregated.  The oracle
+    aggregates the ORIGINAL table — the database roundtrip must be
+    lossless.  Integer-only aggregates: JDBC roundtrips must not be
+    graded on float re-summation order."""
+    import tempfile
+
+    from .sources.jdbc import derby_connection, read_jdbc, write_jdbc
+
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_linenumber") == 1
+    ).select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("l_quantity"),
+    )
+    bounds = li.agg(
+        F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+    ).first()
+    db = tempfile.mkdtemp(prefix="dcs_derby_") + "/db"
+    write_jdbc(
+        li,
+        derby_connection(db),
+        "LINEITEM_RT",
+        mode="overwrite",
+        batchsize=5_000,
+        num_partitions=2,
+    )
+    back = read_jdbc(
+        spark,
+        derby_connection(db, create=False),
+        table="LINEITEM_RT",
+        partition_column="l_orderkey",
+        lower_bound=int(bounds["lo"]),
+        upper_bound=int(bounds["hi"]) + 1,
+        num_partitions=4,
+        fetchsize=5_000,
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count_distinct(F.col("l_orderkey")).alias("n_orders"),
+    )
+
+
 def _conversation_rollup_golden_oracle() -> str:
     from .golden import conversation_rollup_golden_sql
 
@@ -2250,3 +2311,43 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     rows = [(name, bool(cond.wait(spark))) for name, cond in probes]
     return spark.createDataFrame(rows, "probe string, met boolean")
+
+
+# ===========================================================================
+# driver registration order
+# ===========================================================================
+
+#: queries with no driver-artifact CORRECTNESS row yet (the round-2 driver
+#: snapshot predates them, plus everything new this round).  Registered
+#: FIRST so a driver that caps the per-round query budget checks these
+#: before re-checking long-green entries; see COVERAGE.md for the rotation
+#: rationale.  This reorders only the registration dict — names, callables
+#: and oracles are untouched.
+_DRIVER_PRIORITY = [
+    "jdbc_roundtrip_counts",
+    "streaming_quality_turns",
+    "streaming_window_metrics",
+    "sampling_split_integrity",
+    "stratified_sample_counts",
+    "decontamination_overlap",
+    "write_roundtrip_counts",
+    "conversation_keep_rollup",
+    "budget_prefix_packing",
+    "quantized_embedding_topk",
+    "events_sessionize",
+    "json_schema_ingest",
+    "wait_readiness_probes",
+    "neardup_clusters",
+    "neardup_drop_count",
+]
+
+
+def _prioritize_driver_order() -> None:
+    ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
+    for n, fn in QUERIES.items():
+        ordered.setdefault(n, fn)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_prioritize_driver_order()

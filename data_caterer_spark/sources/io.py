@@ -20,7 +20,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-BATCH_FORMATS = {"csv", "json", "parquet", "orc"}
+BATCH_FORMATS = {"csv", "json", "parquet", "orc", "jdbc"}
 
 # formats the reference treats as real-time/connection-managed and skips in
 # batch validation (HTTP/JMS, ValidationProcessor.scala:104-108)
@@ -54,6 +54,10 @@ def read_source(
         reader = reader.options(**dict(options))
     if schema is not None:
         reader = reader.schema(schema)
+    if fmt == "jdbc":
+        # connection-managed source: url/dbtable/query arrive via options
+        # (sources/jdbc.py builds them with the reference's quirks)
+        return reader.load()
     if path is None:
         raise ValueError("one of path/table required")
     return reader.load(path)
@@ -87,7 +91,10 @@ def write_sink(
         writer = writer.options(**dict(options))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    if table is not None:
+    if fmt == "jdbc":
+        # connection-managed sink: url/dbtable arrive via options
+        writer.save()
+    elif table is not None:
         writer.saveAsTable(table)
     elif path is not None:
         writer.save(path)
