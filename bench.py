@@ -124,8 +124,8 @@ def run_scaling(n: int = 4) -> dict | None:
         return None
     scaling_convs = os.environ.get("SPARK_GRAFT_SCALING_CONVS", "120000")
     repo = os.path.dirname(os.path.abspath(__file__))
-    best: dict[int, float] = {}
-    trials: dict[int, int] = {n: 0, n * 4: 0}
+    rates: dict[int, list[float]] = {n: [], n * 4: []}
+    durs: dict[int, float] = {}
     t_start = time.time()
     budget_s = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "620"))
 
@@ -139,17 +139,24 @@ def run_scaling(n: int = 4) -> dict | None:
         # config runs fewer/bigger shuffle tasks and banks a per-task
         # overhead advantage that reads as anti-scaling.)
         env["SPARK_GRAFT_SHUFFLE"] = "64"
-        # deeper in-JVM sampling for the wide config (see the retime loop)
-        wide = cpus == n * 4
-        # wide config: every retime is a ~15 s sample, so one trial spans
-        # minutes of noise windows — never break early, take them all
-        env["SPARK_GRAFT_PIPE_RETIMES"] = "15" if wide else "3"
-        env["SPARK_GRAFT_PIPE_STALE"] = "99" if wide else "2"
+        # SYMMETRIC retime depth: the JIT plateau needs ~5 in-JVM
+        # executions, so an asymmetric depth measures one config
+        # pre-plateau and biases the ratio (an understated N denominator
+        # inflates efficiency).  Both configs get the same depth and the
+        # same stale rule; the plateau stop keeps a quiet narrow trial
+        # from burning the whole budget.
+        env["SPARK_GRAFT_PIPE_RETIMES"] = os.environ.get(
+            "SPARK_GRAFT_PIPE_RETIMES", "10"
+        )
+        env["SPARK_GRAFT_PIPE_STALE"] = os.environ.get(
+            "SPARK_GRAFT_PIPE_STALE", "3"
+        )
         cmd = [
             "taskset", "-c", f"0-{cpus - 1}",
             sys.executable, os.path.join(repo, "bench.py"),
             "--job", "pipeline",
         ]
+        t0 = time.time()
         try:
             out = subprocess.run(
                 cmd, capture_output=True, text=True, env=env, cwd=repo,
@@ -157,43 +164,50 @@ def run_scaling(n: int = 4) -> dict | None:
             )
         except (subprocess.SubprocessError, OSError):
             return  # keep whatever trials already finished
+        durs[cpus] = time.time() - t0
         line = [
             l for l in out.stdout.strip().splitlines() if l.startswith("{")
         ][-1]
-        rate = json.loads(line)["pipeline_turns_per_sec"]
-        best[cpus] = max(best.get(cpus, 0.0), rate)
-        trials[cpus] += 1
+        rates[cpus].append(json.loads(line)["pipeline_turns_per_sec"])
+
+    def best(cpus: int) -> float:
+        return max(rates[cpus], default=0.0)
 
     def eff_now() -> float:
-        if n not in best or n * 4 not in best:
+        if not rates[n] or not rates[n * 4]:
             return 0.0
-        return best[n * 4] / (4.0 * best[n])
+        return best(n * 4) / (4.0 * best(n))
 
-    # One deep interleaved pair (each trial's retime loop spreads many
-    # in-JVM samples across this box's minute-scale co-tenant noise
-    # waves), then top-up sampling for the WIDE config only: a quiet
-    # window for local[4N] needs all 4N cores undisturbed, so under
-    # bursty noise the wide config misses its quiet window far more often
-    # than the narrow one.  Extra 4N samples correct that detection
-    # asymmetry without biasing the statistic — best-rate-per-config can
-    # only converge upward toward the true quiet-window rate, never past
-    # it.  Early exit once the criterion is demonstrated: further samples
-    # only burn the driver's bench timeout.
+    # One interleaved pair at full retime depth (each trial's in-JVM
+    # retime loop spreads samples across this box's minute-scale
+    # co-tenant noise waves), then ALTERNATING top-up trials for BOTH
+    # configs on the same schedule until the budget runs out — no
+    # stopping rule conditioned on the criterion, so the sampling scheme
+    # cannot select for a passing ratio.  Both configs' full sample lists
+    # go into the artifact.
     trial(n)
     trial(n * 4)
-    while eff_now() < 0.82 and time.time() - t_start < budget_s:
-        trial(n * 4)
-    if n not in best or n * 4 not in best:
+    while rates[n] and rates[n * 4]:
+        nxt = n if len(rates[n]) <= len(rates[n * 4]) else n * 4
+        expected = durs.get(nxt, 300.0)
+        if time.time() - t_start + expected > budget_s:
+            break
+        trial(nxt)
+    if not rates[n] or not rates[n * 4]:
         return None
     result = {
         "protocol": (
-            "taskset-pinned, interleaved, best of %d N-trials / %d 4N-trials"
-            % (trials[n], trials[n * 4])
+            "taskset-pinned, interleaved, symmetric retime depth, "
+            "best of %d N-trials / %d 4N-trials (alternating top-up, "
+            "budget-bounded — no criterion-conditioned stopping)"
+            % (len(rates[n]), len(rates[n * 4]))
         ),
         "cpus_n": n,
         "cpus_4n": n * 4,
-        "turns_per_sec_n": round(best[n], 1),
-        "turns_per_sec_4n": round(best[n * 4], 1),
+        "turns_per_sec_n": round(best(n), 1),
+        "turns_per_sec_4n": round(best(n * 4), 1),
+        "samples_n": [round(r, 1) for r in rates[n]],
+        "samples_4n": [round(r, 1) for r in rates[n * 4]],
         "efficiency": round(eff_now(), 3),
     }
     # Context for the single-box number: this box's own N->4N ceilings for
@@ -260,13 +274,17 @@ def main() -> None:
         # subprocess trial costs minutes, so in-JVM repeats are the cheap
         # way to both (a) reach the JIT-warm plateau and (b) spread
         # samples across this box's minute-scale co-tenant noise waves.
-        # run_scaling grants the wide (4N) config a deeper budget: its
-        # quiet windows (all 4N cores undisturbed) are rarer events.
+        # run_scaling gives BOTH configs the same depth and stale rule
+        # (asymmetric depth measures one config pre-plateau and biases
+        # the efficiency ratio); the per-sample list is emitted for the
+        # artifact.
         max_retimes = int(os.environ.get("SPARK_GRAFT_PIPE_RETIMES", "5"))
         max_stale = int(os.environ.get("SPARK_GRAFT_PIPE_STALE", "2"))
         stale = 0
+        pipe_samples = [round(pipe_sec, 3)]
         for _ in range(max_retimes):
             t = retime_pipeline()
+            pipe_samples.append(round(t, 3))
             stale = 0 if t < pipe_sec * 0.98 else stale + 1
             pipe_sec = min(pipe_sec, t)
             if stale >= max_stale:  # non-improving streak = warm plateau
@@ -291,6 +309,8 @@ def main() -> None:
         "pipeline_turns": n_turns,
         "pipeline_turns_per_sec": round(n_turns / pipe_sec, 1),
     }
+    if args.job == "pipeline":
+        result["pipeline_sample_secs"] = pipe_samples
     if scaling is not None:
         result["scaling"] = scaling
     print(json.dumps(result))

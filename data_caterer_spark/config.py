@@ -144,4 +144,20 @@ def get_spark(
     session = builder.getOrCreate()
     if ship_package:
         session.sparkContext.addPyFile(package_zip())
+    # default a RELIABLE checkpoint dir: iterative operators (connected
+    # components) silently fell back to localCheckpoint without one, which
+    # is not fault-tolerant — an executor loss mid-iteration kills the
+    # whole run on a real cluster.  Honor an existing dir (spark-submit
+    # config or a prior caller); derive a local one otherwise.  Cluster
+    # deployments should point SPARK_GRAFT_CHECKPOINT_DIR at durable
+    # storage (HDFS/S3) — a driver-local tmp dir is correct only for
+    # local-mode (all executors share the filesystem).
+    sc = session.sparkContext
+    if sc.getCheckpointDir() is None:
+        ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if ckpt is None:
+            import tempfile
+
+            ckpt = tempfile.mkdtemp(prefix="dcs_ckpt_")
+        sc.setCheckpointDir(ckpt)
     return session

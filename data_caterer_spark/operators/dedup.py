@@ -626,6 +626,17 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     has_dir = not sc._jsc.sc().getCheckpointDir().isEmpty()
+    if not has_dir:
+        # config.get_spark defaults a dir, so this path means a session
+        # built elsewhere — make the durability downgrade visible
+        import warnings
+
+        warnings.warn(
+            "no checkpoint dir configured; falling back to localCheckpoint "
+            "(NOT fault-tolerant — an executor loss mid-iteration fails "
+            "the run). Call sc.setCheckpointDir or use config.get_spark.",
+            stacklevel=3,
+        )
     return df.checkpoint(eager=True) if has_dir else df.localCheckpoint()
 
 

@@ -81,6 +81,10 @@ class FieldSpec:
     sql: str | None = None  # dependent expression over sibling fields
     decimals: int = 4  # rounding for double
     regex: str | None = None  # regex generator (bounded subset -> pure SQL)
+    # faker-style expression, e.g. "#{Name.name}" (RandomDataGenerator.
+    # scala:63-66 EXPRESSION metadata -> GENERATE_FAKER_EXPRESSION UDF;
+    # compiled here to pure Catalyst SQL, operators/expressions.py)
+    expression: str | None = None
     fields: "Sequence[FieldSpec] | None" = None  # struct subfields
     precision: int = 10  # decimal(p,s)
     scale: int = 2
@@ -106,6 +110,10 @@ def field_sql(spec: FieldSpec) -> str:
         return repr(spec.static)
     if spec.sql is not None:
         return spec.sql
+    if spec.expression is not None:
+        from .expressions import expression_sql
+
+        return expression_sql(spec.expression, seed=spec.seed)
     if spec.regex is not None or t == "regex":
         from .regexgen import regex_sql
 

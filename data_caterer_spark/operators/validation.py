@@ -96,12 +96,20 @@ def validate_rules(
     # surfaces the first numSampleErrorRecords=5 failing rows per rule —
     # ValidationProcessor.scala:133, api Constants.scala:264 — via one
     # filtered scan per rule; at 10^12 rows x N failing rules that is N
-    # scans).  Here: per row, the array of failed rule indices -> explode
-    # only failing rows -> two-stage bounded collect (per input partition
-    # first, then global), so the shuffle carries at most
-    # partitions x rules x k sample rows no matter how many rows fail.
+    # scans).  The cap is enforced BEFORE any aggregation: a collect_list
+    # + slice would buffer EVERY failing row per (rule, partition) group
+    # in the partial-aggregate buffers — a high-failure-rate partition
+    # OOMs long before the slice runs.  Instead a mapInPandas pre-pass
+    # emits at most k rows per failed rule per input partition (Arrow
+    # batches in, narrow, no shuffle; it stops consuming once every rule
+    # has k), so the one small groupBy that follows sees at most
+    # partitions x rules x k rows total.  Rows cross as to_json strings
+    # (nulls kept) — sample dicts come back via json.loads, which keeps
+    # JSON-representable types and renders dates/timestamps as strings.
     samples_by_rule: dict[int, list[dict[str, Any]]] = {}
     if failed_idx and num_sample_errors > 0:
+        import json
+
         fail_arr = F.array_compact(
             F.array(
                 *[
@@ -110,29 +118,50 @@ def validate_rules(
                 ]
             )
         )
-        per_part = (
+        failing = (
             df.withColumn("__failed", fail_arr)
             .where(F.size("__failed") > 0)
             .select(
-                F.explode("__failed").alias("__rid"),
-                F.struct(*df.columns).alias("__row"),
-                F.spark_partition_id().alias("__pid"),
-            )
-            .groupBy("__rid", "__pid")
-            .agg(
-                F.slice(
-                    F.collect_list("__row"), 1, num_sample_errors
-                ).alias("__rows")
+                "__failed",
+                F.to_json(
+                    F.struct(*df.columns), {"ignoreNullFields": "false"}
+                ).alias("__js"),
             )
         )
-        gathered = per_part.groupBy("__rid").agg(
-            F.slice(
-                F.flatten(F.collect_list("__rows")), 1, num_sample_errors
-            ).alias("__rows")
+        k = num_sample_errors
+        rid_list = [int(i) for i in failed_idx]
+
+        def _cap_per_partition(batches):
+            import pandas as pd
+
+            counts = dict.fromkeys(rid_list, 0)
+            need = len(rid_list) * k
+            got = 0
+            for pdf in batches:
+                out_rid: list[int] = []
+                out_js: list[str] = []
+                for fl, js in zip(pdf["__failed"], pdf["__js"]):
+                    for rid in fl:
+                        rid = int(rid)
+                        if counts[rid] < k:
+                            counts[rid] += 1
+                            got += 1
+                            out_rid.append(rid)
+                            out_js.append(js)
+                if out_rid:
+                    yield pd.DataFrame({"__rid": out_rid, "__js": out_js})
+                if got >= need:
+                    return  # partition satisfied: stop consuming input
+
+        capped = failing.mapInPandas(
+            _cap_per_partition, "__rid int, __js string"
+        )
+        gathered = capped.groupBy("__rid").agg(
+            F.slice(F.collect_list("__js"), 1, k).alias("__rows")
         )
         for rec in gathered.collect():
             samples_by_rule[rec["__rid"]] = [
-                r.asDict() for r in rec["__rows"]
+                json.loads(s) for s in rec["__rows"]
             ]
     results = []
     for i, r in enumerate(rules):

@@ -1610,6 +1610,63 @@ def generate_regex_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "generate_expression_fields",
+    """
+    SELECT CAST(1000 AS BIGINT) AS total,
+           CAST(1000 AS BIGINT) AS name_ok,
+           CAST(1000 AS BIGINT) AS username_ok,
+           CAST(1000 AS BIGINT) AS city_ok,
+           CAST(1000 AS BIGINT) AS phone_ok,
+           CAST(1000 AS BIGINT) AS tier_ok,
+           true AS diverse
+    """,
+)
+def generate_expression_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faker-expression generation (RandomDataGenerator.scala:63-66
+    ``#{...}`` strings -> GENERATE_FAKER_EXPRESSION UDF) reframed as
+    compiled Catalyst SQL over deterministic offline provider lists
+    (operators/expressions.py).  The oracle checks the generator's
+    INVARIANT: every value lies in its provider vocabulary / matches its
+    directive pattern, with real cross-row diversity."""
+    from .operators.expressions import CITIES, FIRST_NAMES, LAST_NAMES
+    from .operators.generator import FieldSpec, generate
+
+    fields = [
+        FieldSpec("full_name", expression="#{Name.name}", seed=60),
+        FieldSpec("username", expression="#{Name.username}", seed=61),
+        FieldSpec("city", expression="#{Address.city}", seed=62),
+        FieldSpec(
+            "phone", expression="#{PhoneNumber.phoneNumber}", seed=63
+        ),
+        FieldSpec(
+            "tier",
+            expression="#{options.option 'gold','silver','bronze'}",
+            seed=64,
+        ),
+    ]
+    df = generate(spark, fields, 1000, num_partitions=4)
+    first = F.split(F.col("full_name"), " ").getItem(0)
+    last = F.split(F.col("full_name"), " ").getItem(1)
+    return df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_if(
+            first.isin(*FIRST_NAMES) & last.isin(*LAST_NAMES)
+        ).alias("name_ok"),
+        F.count_if(
+            F.col("username").rlike("^[a-z]+\\.[a-z]+$")
+        ).alias("username_ok"),
+        F.count_if(F.col("city").isin(*CITIES)).alias("city_ok"),
+        F.count_if(
+            F.col("phone").rlike("^\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}$")
+        ).alias("phone_ok"),
+        F.count_if(
+            F.col("tier").isin("gold", "silver", "bronze")
+        ).alias("tier_ok"),
+        (F.count_distinct(F.col("full_name")) >= 10).alias("diverse"),
+    )
+
+
+@_q(
     "generate_fk_consistent_tables",
     """
     SELECT CAST(600 AS BIGINT) AS total_orders,
@@ -2325,6 +2382,7 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: and oracles are untouched.
 _DRIVER_PRIORITY = [
     "jdbc_roundtrip_counts",
+    "generate_expression_fields",
     "streaming_quality_turns",
     "streaming_window_metrics",
     "sampling_split_integrity",

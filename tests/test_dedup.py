@@ -154,6 +154,13 @@ def test_connected_components_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
 
 
+def test_get_spark_defaults_checkpoint_dir(spark):
+    """config.get_spark must default a checkpoint dir so iterative
+    operators never silently downgrade to non-fault-tolerant
+    localCheckpoint (the session fixture goes through get_spark)."""
+    assert spark.sparkContext.getCheckpointDir() is not None
+
+
 def test_connected_components_uses_reliable_checkpoint(spark, tmp_path):
     """With a checkpoint dir configured, every round materializes through
     RELIABLE checkpointing (files on checkpoint storage — survives

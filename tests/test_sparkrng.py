@@ -24,10 +24,10 @@ def test_rand_stream_bit_exact(spark):
     assert got == exp  # float equality: bit-exact or bust
 
 
-def test_randn_stream_near_exact(spark):
-    """nextGaussian goes through log/sqrt: StrictMath (fdlibm) vs libm can
-    differ in the last ulp, so pin to 1-ulp agreement (measured max diff
-    4.4e-16; 97%+ of draws are bit-identical)."""
+def test_randn_stream_bit_exact(spark):
+    """nextGaussian goes through StrictMath.log/sqrt; the replay uses a
+    pure-Python fdlibm log (sparkrng._strict_log), so every draw must be
+    bit-identical — no platform-libm ulp flake left."""
     got = [
         r["g"]
         for r in spark.range(0, 400, 1, 4).select(F.randn(7).alias("g")).collect()
@@ -36,9 +36,29 @@ def test_randn_stream_near_exact(spark):
     for p in range(4):
         rng = XORShiftRandom(7, p)
         exp += [rng.next_gaussian() for _ in range(100)]
-    exact = sum(a == b for a, b in zip(got, exp))
-    assert exact >= 380
-    assert all(abs(a - b) < 1e-15 for a, b in zip(got, exp))
+    assert got == exp  # float equality: bit-exact or bust
+
+
+def test_strict_log_matches_libm_within_ulp():
+    """_strict_log is fdlibm; sanity-pin it against math.log (they agree
+    to <=1 ulp everywhere, and exactly on most inputs)."""
+    import math as m
+    import struct as st
+
+    from data_caterer_spark.sparkrng import _strict_log
+
+    def ulps(a: float, b: float) -> int:
+        ia = st.unpack(">q", st.pack(">d", a))[0]
+        ib = st.unpack(">q", st.pack(">d", b))[0]
+        return abs(ia - ib)
+
+    vals = [1e-300, 1e-10, 0.1, 0.5, 0.999999, 1.0, 1.000001, 2.0, 10.0,
+            12345.6789, 1e300]
+    vals += [0.001 + i * 0.013 for i in range(200)]
+    assert all(ulps(_strict_log(v), m.log(v)) <= 1 for v in vals)
+    assert _strict_log(1.0) == 0.0
+    assert _strict_log(0.0) == float("-inf")
+    assert m.isnan(_strict_log(-1.0))
 
 
 def test_seeded_table_golden_rows_match_spark(spark):
