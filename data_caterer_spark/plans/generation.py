@@ -62,7 +62,9 @@ class GenStep:
     fields: Sequence[FieldSpec]
     records: "int | tuple[int, int]" = 1000
     count_seed: int | None = None
-    per_column_records: int | None = None  # fan-out after generation
+    per_column_records: int | None = None  # fan-out after generation (max)
+    per_column_min: int | None = None  # with vary: draw N in [min, max]
+    per_column_vary: bool = False  # PerColumnCount-with-generator surface
     unique_cols: Sequence[str] | None = None
     sink: SinkSpec | None = None
     num_partitions: int | None = None
@@ -176,7 +178,13 @@ class GenerationProcessor:
                         previous=accumulated.get(short[key]),
                     )
                 if step.per_column_records:
-                    df = per_column_count(df, step.per_column_records)
+                    df = per_column_count(
+                        df,
+                        step.per_column_records,
+                        rand_seed=step.count_seed,
+                        vary=step.per_column_vary,
+                        records_min=step.per_column_min,
+                    )
                 generated[short[key]] = df
             if foreign_keys:
                 generated, _order = apply_foreign_keys(

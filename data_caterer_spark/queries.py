@@ -1667,6 +1667,83 @@ def generate_expression_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "plan_run_end_to_end",
+    """
+    SELECT CAST(200 AS BIGINT) AS accounts,
+           true AS txn_in_range,
+           CAST(0 AS BIGINT) AS fk_orphans,
+           CAST(0 AS BIGINT) AS sql_field_errors,
+           CAST(3 AS BIGINT) AS validations_passed,
+           true AS sink_roundtrip,
+           'file_account,transactions' AS insert_order
+    """,
+)
+def plan_run_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified PlanRun front door (PlanRun.scala:11-136 +
+    PlanParser.scala:16-31): the ported reference fixtures
+    (account-create-plan.yaml + json-account-task.yaml +
+    account-checks.yaml — nested structs, array-of-struct, sql fields
+    over nested columns, regex + faker expressions, perColumn generator
+    counts, cross-step FK, json sinks, read-back validations) parse,
+    generate, sink, and validate in one run.  The oracle checks the
+    plan's INVARIANTS: exact account count, FK integrity, derived-sql
+    correctness, validation verdicts, sink roundtrip, insert order."""
+    import os as _os
+    import tempfile
+
+    from .plans import planrun as PR
+
+    fixtures = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "tests",
+        "fixtures",
+    )
+
+    def _load(rel: str, out: str) -> str:
+        with open(_os.path.join(fixtures, rel)) as f:
+            return f.read().replace("{out}", out)
+
+    out = tempfile.mkdtemp(prefix="dcs_plan_")
+    plan = PR.parse_plan(
+        _load("plan/account-create-plan.yaml", out),
+        [_load("task/json-account-task.yaml", out)],
+        [_load("validation/account-checks.yaml", out)],
+        connections={"json": PR.Connection("json", "json")},
+    )
+    res = PR.run_plan(spark, plan)
+    accounts = res.tables["file_account"]
+    txns = res.tables["transactions"]
+    n_accounts = accounts.count()
+    n_txn = txns.count()
+    orphans = txns.join(
+        accounts.select("account_id"), "account_id", "left_anti"
+    ).count()
+    sql_bad = accounts.where(
+        "is_early_customer != (year = 2021) OR "
+        "updated_time != details.updated_by.time OR "
+        "first_txn_date != element_at(sort_array(transactions.txn_date), 1)"
+    ).count()
+    checks = res.validation_results["account_checks"]
+    n_back = spark.read.json(f"{out}/txn-gen").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_accounts,
+                100 <= n_txn <= 300,
+                orphans,
+                sql_bad,
+                sum(1 for c in checks if c.is_success),
+                n_back == n_txn,
+                ",".join(res.insert_order),
+            )
+        ],
+        "accounts bigint, txn_in_range boolean, fk_orphans bigint, "
+        "sql_field_errors bigint, validations_passed bigint, "
+        "sink_roundtrip boolean, insert_order string",
+    )
+
+
+@_q(
     "generate_fk_consistent_tables",
     """
     SELECT CAST(600 AS BIGINT) AS total_orders,
@@ -2383,6 +2460,7 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     "jdbc_roundtrip_counts",
     "generate_expression_fields",
+    "plan_run_end_to_end",
     "streaming_quality_turns",
     "streaming_window_metrics",
     "sampling_split_integrity",
