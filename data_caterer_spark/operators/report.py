@@ -44,12 +44,59 @@ class SinkResult:
 
 @dataclass
 class StepResult:
-    """StepResultSummary (ResultModels.scala:29-34)."""
+    """StepResultSummary (ResultModels.scala:29-34).
+
+    ``fields`` carries the per-step generator table the reference's HTML
+    report renders (ResultHtmlWriter's step pages: field name, type,
+    generator kind, options); ``duration_s`` the step's wall-clock."""
 
     step: str
     num_records: int
     is_success: bool
     sinks: Sequence[SinkResult] = ()
+    fields: Sequence[dict] = ()
+    duration_s: float = 0.0
+
+
+def field_summary(spec) -> dict:
+    """One generator-table row for a FieldSpec (kind + compact options)."""
+    if spec.static is not None:
+        kind, opts = "static", repr(spec.static)
+    elif spec.sql is not None:
+        kind, opts = "sql", spec.sql
+    elif spec.expression is not None:
+        kind, opts = "expression", spec.expression
+    elif spec.regex is not None or spec.type == "regex":
+        kind, opts = "regex", spec.regex or ""
+    elif spec.one_of is not None or spec.type == "oneOf":
+        vals = list(spec.one_of or [])
+        kind = "oneOf"
+        opts = ", ".join(str(v) for v in vals[:8]) + (
+            ", ..." if len(vals) > 8 else ""
+        )
+    elif spec.type == "struct":
+        kind = "struct"
+        opts = ", ".join(f.name for f in (spec.fields or []))
+    elif spec.type == "array":
+        kind = "array"
+        opts = (
+            f"{spec.element.type if spec.element else 'string'}"
+            f"[{spec.array_min_len}..{spec.array_max_len}]"
+        )
+    elif spec.type == "string":
+        kind, opts = "random", f"len {spec.min_len}..{spec.max_len}"
+    elif spec.stddev is not None and spec.mean is not None:
+        kind, opts = "random", f"normal(mean={spec.mean}, stddev={spec.stddev})"
+    else:
+        kind, opts = "random", f"{spec.min}..{spec.max}"
+    return {
+        "name": spec.name,
+        "type": spec.type,
+        "generator": kind,
+        "options": opts,
+        "null_prob": spec.null_prob,
+        "seed": spec.seed,
+    }
 
 
 def run_report_dict(
@@ -76,6 +123,8 @@ def run_report_dict(
                 "step": s.step,
                 "num_records": s.num_records,
                 "is_success": s.is_success,
+                "duration_s": s.duration_s,
+                "fields": list(s.fields),
                 "sinks": [
                     {
                         "name": k.name,
@@ -179,19 +228,68 @@ def run_report_html(
             ],
         ),
     ]
+    # per-step generator tables (ResultHtmlWriter step pages)
+    gen_steps = [s for s in d["steps"] if s.get("fields")]
+    if gen_steps:
+        parts.append("<h2>Generators</h2>")
+        for s in gen_steps:
+            parts.append(f"<h3>{_html.escape(s['step'])}</h3>")
+            parts.append(
+                _html_table(
+                    ["field", "type", "generator", "options", "null prob",
+                     "seed"],
+                    [
+                        [f["name"], f["type"], f["generator"], f["options"],
+                         f["null_prob"], "" if f["seed"] is None else f["seed"]]
+                        for f in s["fields"]
+                    ],
+                )
+            )
+    # duration breakdown (steps + sinks)
+    parts += [
+        "<h2>Durations</h2>",
+        _html_table(
+            ["step", "step wall (s)", "sink wall (s)"],
+            [
+                [s["step"], s["duration_s"],
+                 round(sum(k["duration_s"] for k in s["sinks"]), 3)]
+                for s in d["steps"]
+            ],
+        ),
+    ]
     if d["validation"]:
         v = d["validation"]
         parts += [
             "<h2>Validations</h2>",
             _html_table(
-                ["rule", "status", "errors", "total"],
+                ["rule", "description", "status", "errors", "total",
+                 "threshold"],
                 [
-                    [r["rule_id"], "PASS" if r["is_success"] else "FAIL",
-                     r["num_errors"], r["total"]]
+                    [r["rule_id"], r.get("description", ""),
+                     "PASS" if r["is_success"] else "FAIL",
+                     r["num_errors"], r["total"],
+                     r.get("error_threshold", "")]
                     for r in v["results"]
                 ],
             ),
         ]
+        # sample errors for failed rules (ResultHtmlWriter's error pages)
+        failed = [
+            r for r in v["results"]
+            if not r["is_success"] and r.get("sample_errors")
+        ]
+        if failed:
+            parts.append("<h2>Sample errors</h2>")
+            for r in failed:
+                parts.append(f"<h3>{_html.escape(r['rule_id'])}</h3>")
+                samples = r["sample_errors"][:5]
+                cols = sorted({k for s_ in samples for k in s_})
+                parts.append(
+                    _html_table(
+                        cols,
+                        [[s_.get(c, "") for c in cols] for s_ in samples],
+                    )
+                )
     parts.append("</body></html>")
     return "".join(parts)
 

@@ -237,12 +237,16 @@ class GenerationProcessor:
                         duration_s=round(stats["wall"], 3),
                     )
                 )
+            from ..operators.report import field_summary
+
             results.append(
                 StepResult(
                     step=name,
                     num_records=stats["rows"],
                     is_success=True,
                     sinks=sinks,
+                    fields=[field_summary(f) for f in step.fields],
+                    duration_s=round(stats["wall"], 3),
                 )
             )
         return accumulated, results

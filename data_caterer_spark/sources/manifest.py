@@ -34,7 +34,7 @@ import json
 import os
 import time
 import uuid
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -109,6 +109,7 @@ class ResumableRunner:
         keep_col: str = "keep",
         hits_col: str = "rule_hits",
         scope: str = "default",
+        rule_ids: "Sequence[str] | None" = None,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -120,6 +121,12 @@ class ResumableRunner:
         # scope = plan/config fingerprint: manifest rows from a DIFFERENT
         # scope never satisfy this runner's resume check
         self.scope = scope
+        # with a declared rule bank the per-rule hit histogram rides the
+        # write action as observe counters (one count_if(array_contains)
+        # per rule — the bank is bounded); without it the histogram needs
+        # a read-back scan of the just-written group (one extra job per
+        # group — 256 extra read jobs at 256 groups)
+        self.rule_ids = list(rule_ids) if rule_ids is not None else None
 
     def pending_groups(self) -> list[int]:
         done = self.manifest.completed_groups(run_scope=self.scope)
@@ -146,11 +153,18 @@ class ResumableRunner:
             part = grouped.where(F.col("__group") == gid).drop("__group")
             out = pipeline_fn(part)
             obs = Observation(f"g{gid}")
-            out = out.observe(
-                obs,
+            obs_aggs = [
                 F.count(F.lit(1)).alias("rows_in"),
                 F.count_if(F.col(self.keep_col)).alias("rows_kept"),
-            )
+            ]
+            if self.rule_ids is not None:
+                obs_aggs.extend(
+                    F.count_if(
+                        F.array_contains(F.col(self.hits_col), rid)
+                    ).alias(f"__hit_{i}")
+                    for i, rid in enumerate(self.rule_ids)
+                )
+            out = out.observe(obs, *obs_aggs)
             (
                 out.withColumn("group", F.lit(gid))
                 .write.mode("overwrite")
@@ -159,16 +173,25 @@ class ResumableRunner:
                 .parquet(self.out_dir)
             )
             stats = obs.get
-            # rule-hit histogram for the lineage record: second (tiny)
-            # aggregate over the group's already-written slice
-            hits = (
-                self.spark.read.parquet(self.out_dir)
-                .where(F.col("group") == gid)
-                .select(F.explode(self.hits_col).alias("rid"))
-                .groupBy("rid")
-                .count()
-                .collect()
-            )
+            if self.rule_ids is not None:
+                # histogram rode the write action — ONE job per group
+                hits_map = {
+                    rid: stats[f"__hit_{i}"]
+                    for i, rid in enumerate(self.rule_ids)
+                    if stats[f"__hit_{i}"]
+                }
+            else:
+                # no declared bank: second (tiny) aggregate over the
+                # group's already-written slice
+                hits = (
+                    self.spark.read.parquet(self.out_dir)
+                    .where(F.col("group") == gid)
+                    .select(F.explode(self.hits_col).alias("rid"))
+                    .groupBy("rid")
+                    .count()
+                    .collect()
+                )
+                hits_map = {r["rid"]: r["count"] for r in hits}
             self.manifest.append(
                 {
                     "run_id": run_id,
@@ -176,9 +199,7 @@ class ResumableRunner:
                     "group_id": gid,
                     "rows_in": stats["rows_in"],
                     "rows_kept": stats["rows_kept"],
-                    "rule_hits": json.dumps(
-                        {r["rid"]: r["count"] for r in hits}, sort_keys=True
-                    ),
+                    "rule_hits": json.dumps(hits_map, sort_keys=True),
                     "wall_s": round(time.time() - t0, 3),
                     "finished_at": datetime.datetime.now(),
                 }

@@ -101,6 +101,39 @@ def test_lineage_metrics(spark, transcripts, tmp_path):
     assert all(r["wall_s"] > 0 for r in man)
 
 
+def test_lineage_hits_via_observe_matches_readback(spark, transcripts, tmp_path):
+    """With a declared rule bank the per-rule hit histogram rides the
+    write action's observe counters (no read-back job per group) and must
+    match the read-back histogram exactly."""
+    from data_caterer_spark.functions.textcore import SCRUB_BANK
+    from data_caterer_spark.plans.pipeline import QualityFilterPipeline
+
+    rule_ids = [
+        r.rule_id for r in QualityFilterPipeline().heuristic_rules()
+    ] + [rid for rid, _pat, _rep in SCRUB_BANK]
+    r_obs = ResumableRunner(
+        spark, str(tmp_path / "out_o"), str(tmp_path / "man_o"),
+        n_groups=2, rule_ids=rule_ids,
+    )
+    r_obs.run(transcripts, _pipeline_fn)
+    r_back = ResumableRunner(
+        spark, str(tmp_path / "out_b"), str(tmp_path / "man_b"), n_groups=2
+    )
+    r_back.run(transcripts, _pipeline_fn)
+
+    def hist(man_dir):
+        rows = ManifestSidecar(spark, man_dir).read().collect()
+        out = {}
+        for r in rows:
+            for k, v in json.loads(r["rule_hits"]).items():
+                out[k] = out.get(k, 0) + v
+        return out
+
+    h_obs = hist(str(tmp_path / "man_o"))
+    h_back = hist(str(tmp_path / "man_b"))
+    assert h_obs == h_back and h_obs
+
+
 def test_read_source_table_keeps_options(spark):
     """Catalog-table reads must not discard configured reader options
     (snapshot-id / as-of-timestamp travel this way on Iceberg)."""

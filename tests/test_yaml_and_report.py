@@ -142,6 +142,79 @@ def test_run_report_full_surface(spark, tmp_path):
     assert "generate_accounts" in md and "1500 records" in md
 
 
+def test_run_report_html_golden(tmp_path):
+    """Golden-file pin of the full HTML report surface (ResultHtmlWriter
+    parity: generator tables, duration breakdown, validations with sample
+    errors).  Timestamps are normalized before comparison."""
+    import os
+    import re
+
+    from data_caterer_spark.operators.generator import FieldSpec
+    from data_caterer_spark.operators.report import (
+        SinkResult,
+        StepResult,
+        field_summary,
+        run_report_html,
+    )
+    from data_caterer_spark.operators.validation import ValidationResult
+
+    fields = [
+        FieldSpec("account_id", regex="ACC1[0-9]{9}", seed=11),
+        FieldSpec("name", expression="#{Name.name}", seed=15),
+        FieldSpec("year", type="int", min=2021, max=2022, seed=12),
+        FieldSpec("tier", one_of=["gold", "silver"], seed=13),
+        FieldSpec("flags", type="array",
+                  element=FieldSpec("flags_elem", type="string")),
+        FieldSpec("derived", sql="year - 2000"),
+    ]
+    steps = [
+        StepResult(
+            step="file_account",
+            num_records=200,
+            is_success=True,
+            duration_s=1.25,
+            fields=[field_summary(f) for f in fields],
+            sinks=[
+                SinkResult(
+                    name="file_account_sink", format="json",
+                    save_mode="append", count=200, duration_s=1.25,
+                )
+            ],
+        )
+    ]
+    vres = [
+        ValidationResult(
+            rule_id="amount_max", is_success=True, num_errors=0, total=200,
+            description="amount <= 100",
+        ),
+        ValidationResult(
+            rule_id="year_2021", is_success=False, num_errors=3, total=200,
+            description="year == 2021",
+            sample_errors=[
+                {"account_id": "ACC1000000001", "year": 2022},
+                {"account_id": "ACC1000000007", "year": 2022},
+            ],
+        ),
+    ]
+    html = run_report_html("account_create_plan", steps, vres)
+    html = re.sub(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", "<TS>", html)
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "report_golden.html"
+    )
+    if os.environ.get("REGEN_GOLDEN") == "1":  # regeneration escape hatch
+        with open(golden_path, "w") as f:
+            f.write(html)
+    with open(golden_path) as f:
+        assert html == f.read()
+    # structural spot checks so a stale golden can't hide a regression
+    for needle in (
+        "<h2>Generators</h2>", "ACC1[0-9]{9}", "#{Name.name}",
+        "<h2>Durations</h2>", "<h2>Sample errors</h2>", "ACC1000000007",
+        "gold, silver", "year - 2000",
+    ):
+        assert needle in html, needle
+
+
 def test_iceberg_gated(spark):
     from data_caterer_spark.config import iceberg_available
     from data_caterer_spark.sources import iceberg as ib
