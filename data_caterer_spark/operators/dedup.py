@@ -614,7 +614,7 @@ def simhash_pairs(
 # --------------------------------------------------------------------------
 
 
-def _truncate_lineage(df: DataFrame) -> DataFrame:
+def truncate_lineage(df: DataFrame) -> DataFrame:
     """Materialize and cut lineage for an iterative-loop round.
 
     Uses RELIABLE checkpointing whenever a checkpoint dir is configured
@@ -653,7 +653,7 @@ def connected_components(
     label among itself and its neighbors; converges in O(component
     diameter) rounds — near-dup clusters are shallow (stars/cliques), so
     2-4 rounds in practice.  Each round is ONE job: the join + label
-    update materializes through :func:`_truncate_lineage` (reliable
+    update materializes through :func:`truncate_lineage` (reliable
     checkpoint on clusters, see above) and the convergence signal rides
     the same action as an ``observe`` sum of per-row changed flags — no
     separate old-vs-new comparison job.
@@ -661,12 +661,12 @@ def connected_components(
     from pyspark.sql import Observation
 
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = _truncate_lineage(
+    edges = truncate_lineage(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     )
-    labels = _truncate_lineage(
+    labels = truncate_lineage(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
@@ -683,7 +683,7 @@ def connected_components(
             .agg(F.min("dst_cluster").alias("min_neigh"))
         )
         obs = Observation(f"cc_round_{i}")
-        new_labels = _truncate_lineage(
+        new_labels = truncate_lineage(
             labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
             .select(
                 "id",

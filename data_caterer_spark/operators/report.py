@@ -124,6 +124,12 @@ def run_report_dict(
                 "num_records": s.num_records,
                 "is_success": s.is_success,
                 "duration_s": s.duration_s,
+                # SparkRecordListener.scala:7-23 parity: per-step rows/sec
+                "rows_per_sec": (
+                    round(s.num_records / s.duration_s, 1)
+                    if s.duration_s > 0
+                    else None
+                ),
                 "fields": list(s.fields),
                 "sinks": [
                     {

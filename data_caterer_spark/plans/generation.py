@@ -201,8 +201,14 @@ class GenerationProcessor:
                     continue
                 df = generated[name]
                 # batches must not re-evaluate with fresh RAND downstream:
-                # pin this batch's rows before union/sink
-                df = df.localCheckpoint()
+                # pin this batch's rows before union/sink.  RELIABLE
+                # checkpoint when a dir is configured (config.get_spark
+                # defaults one): an executor loss mid-run would otherwise
+                # kill the accumulated lineage of every prior batch;
+                # localCheckpoint remains the no-dir fallback.
+                from ..operators.dedup import truncate_lineage
+
+                df = truncate_lineage(df)
                 if step.sink is not None:
                     t0 = time.time()
                     write_sink(

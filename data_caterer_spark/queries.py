@@ -2081,6 +2081,9 @@ _WRITE_SQL = """
     UNION ALL
     SELECT 'parquet', COUNT(*), ROUND(SUM(l_extendedprice), 2)
     FROM lineitem WHERE l_returnflag = 'A'
+    UNION ALL
+    SELECT 'xml', COUNT(*), ROUND(SUM(l_extendedprice), 2)
+    FROM lineitem WHERE l_returnflag = 'A'
 """
 
 
@@ -2106,13 +2109,16 @@ def write_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="dcs_sink_")
     outs = []
-    for fmt in ("csv", "json", "orc", "parquet"):
+    for fmt in ("csv", "json", "orc", "parquet", "xml"):
         path = f"{base}/{fmt}"
         kwargs: dict = {"mode": "overwrite"}
         read_opts: dict = {}
         if fmt == "csv":
             kwargs["options"] = {"header": "true"}
             read_opts = {"header": "true"}
+        if fmt == "xml":  # Spark 4 native XML source
+            kwargs["options"] = {"rowTag": "row"}
+            read_opts = {"rowTag": "row"}
         if fmt == "parquet":
             kwargs["partition_by"] = ["l_returnflag"]
             kwargs["num_partitions"] = 4

@@ -20,11 +20,47 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-BATCH_FORMATS = {"csv", "json", "parquet", "orc", "jdbc"}
+BATCH_FORMATS = {"csv", "json", "parquet", "orc", "jdbc", "xml"}
 
 # formats the reference treats as real-time/connection-managed and skips in
 # batch validation (HTTP/JMS, ValidationProcessor.scala:104-108)
 NON_BATCH_FORMATS = {"http", "jms"}
+
+#: formats needing a runtime jar this distribution may not carry
+#: (api Constants.scala:10-24 lists delta among supported formats; XML is
+#: native in Spark 4, so only delta/iceberg/cassandra/kafka stay gated)
+_JAR_GATED = {
+    "delta": ("delta-spark", "io.delta:delta-spark"),
+    "iceberg": ("iceberg-spark-runtime", "org.apache.iceberg:iceberg-spark-runtime"),
+    "cassandra": ("spark-cassandra-connector", "com.datastax.spark:spark-cassandra-connector"),
+    "kafka": ("spark-sql-kafka", "org.apache.spark:spark-sql-kafka-0-10"),
+}
+
+
+def format_available(fmt: str) -> bool:
+    """True when ``fmt`` is usable in this runtime (native, or its jar is
+    on the classpath)."""
+    gate = _JAR_GATED.get(fmt)
+    if gate is None:
+        return True
+    import os
+
+    import pyspark
+
+    jar_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    try:
+        return any(gate[0] in j for j in os.listdir(jar_dir))
+    except OSError:
+        return False
+
+
+def _require_format(fmt: str) -> None:
+    if not format_available(fmt):
+        jar_hint = _JAR_GATED[fmt][1]
+        raise RuntimeError(
+            f"format {fmt!r} needs a runtime jar not present in this "
+            f"distribution — add {jar_hint} via spark.jars.packages"
+        )
 
 
 def read_source(
@@ -39,6 +75,7 @@ def read_source(
     production); ``path`` targets files."""
     if fmt in NON_BATCH_FORMATS:
         raise ValueError(f"{fmt} is not a batch-readable source")
+    _require_format(fmt)
     if table is not None:
         # catalog-table read keeps the configured options (Iceberg
         # snapshot-id/as-of-timestamp etc. arrive this way); a schema
@@ -82,6 +119,7 @@ def write_sink(
     sink (``:113-120`` — the target drops score/debug columns unless asked
     to keep them).
     """
+    _require_format(fmt)
     if omit_cols:
         df = df.drop(*omit_cols)
     if num_partitions is not None:

@@ -134,6 +134,22 @@ def test_lineage_hits_via_observe_matches_readback(spark, transcripts, tmp_path)
     assert h_obs == h_back and h_obs
 
 
+def test_jar_gated_formats_error_clearly(spark):
+    """delta (no jar here) fails fast with the dependency hint; native
+    formats are never gated; xml is native in Spark 4."""
+    from data_caterer_spark.sources.io import format_available, read_source
+
+    assert format_available("parquet") and format_available("xml")
+    if format_available("delta"):
+        pytest.skip("delta jar present; gating path not applicable")
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        read_source(spark, "delta", path="/tmp/nope")
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        from data_caterer_spark.sources.io import write_sink
+
+        write_sink(spark.range(1), "delta", path="/tmp/nope")
+
+
 def test_read_source_table_keeps_options(spark):
     """Catalog-table reads must not discard configured reader options
     (snapshot-id / as-of-timestamp travel this way on Iceberg)."""

@@ -10,12 +10,21 @@ from data_caterer_spark.operators import sampling as S
 
 def test_fraction_threshold_bounds():
     assert S.fraction_threshold(0.0) == "00000000"
-    assert S.fraction_threshold(1.0) == "ffffffff"
+    # 1.0 is the exact identity: the sentinel sorts after every hex
+    # bucket, so the strict '<' compare keeps ALL keys (a 'ffffffff'
+    # clamp silently dropped keys hashing to the top bucket)
+    assert S.fraction_threshold(1.0) == "g"
+    assert all(c < "g" for c in "0123456789abcdef")
     assert S.fraction_threshold(0.2) == "33333333"
     import pytest
 
     with pytest.raises(ValueError):
         S.fraction_threshold(1.5)
+
+
+def test_hash_sample_fraction_one_is_identity(spark):
+    df = spark.range(5_000)
+    assert S.hash_sample(df, ["id"], 1.0).count() == 5_000
 
 
 def test_hash_sample_deterministic_and_approximate(spark):
