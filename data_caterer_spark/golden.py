@@ -285,7 +285,7 @@ def ivf_knn_golden_sql(
     probes: int = 2,
     iters: int = 5,
     seed: int = 42,
-    rows_per_list: int = 128,
+    rows_per_list: int = 64,
     sample_rows: int = 10_000,
 ) -> str:
     """Independent replay of the IVF knn join: same n_lists derivation

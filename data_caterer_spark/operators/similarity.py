@@ -445,14 +445,15 @@ TRAIN_ROWS_PER_LIST = 40
 
 def derive_n_lists(
     n_rows: int,
-    rows_per_list: int = 128,
+    rows_per_list: int = 64,
     min_lists: int = 4,
     max_lists: int = 65_536,
 ) -> int:
     """Size the inverted-list count from the input: a FIXED ``n_lists``
     makes the per-list candidate self-join O(n^2/L) — quadratic at 100x
     data.  Targeting a constant rows-per-list keeps candidate pairs per
-    row ~rows_per_list/2, i.e. the join stays LINEAR in n.  ``max_lists``
+    row ~rows_per_list/2, i.e. the join stays LINEAR in n (64 rows/list
+    -> ~32 candidate pairs per row before multiprobe).  ``max_lists``
     caps the driver-side training sample (40 rows/list) at ~2.6M rows —
     the FAISS regime for 10^9-row tables."""
     if n_rows <= 0:
@@ -554,7 +555,7 @@ def ivf_knn_join(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    rows_per_list: int = 128,
+    rows_per_list: int = 64,
     sample_rows: int = 10_000,
 ) -> DataFrame:
     """Approximate self knn-join via inverted lists: candidates meet only

@@ -85,8 +85,8 @@ def test_ivf_derive_n_lists_scaling():
     # constant rows-per-list: list count grows linearly with input size so
     # the per-list candidate self-join stays linear in n
     assert S.derive_n_lists(0) == 4
-    assert S.derive_n_lists(1_000) == 8  # ceil(1000/128)
-    assert S.derive_n_lists(1_000_000) == 7813
+    assert S.derive_n_lists(1_000) == 16  # ceil(1000/64)
+    assert S.derive_n_lists(1_000_000) == 15_625
     assert S.derive_n_lists(10**10) == 65_536  # driver-sample cap
     assert S.derive_n_lists(1_000, rows_per_list=100) == 10
 
