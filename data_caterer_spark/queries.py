@@ -2204,6 +2204,103 @@ def jdbc_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "kafka_frame_payloads",
+    """
+    SELECT CAST(l_orderkey AS VARCHAR) AS key,
+           '{"l_orderkey":' || l_orderkey || ',"l_returnflag":"'
+               || l_returnflag || '"}' AS value,
+           'lineitem' AS topic,
+           CAST(l_orderkey % 8 AS INTEGER) AS "partition",
+           'status=' || l_linestatus AS headers_str
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def kafka_frame_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka real-time sink payload construction (the reference's
+    value/partition/headers column conventions, app model/Constants.
+    scala:19-28; header DDL api Constants.scala:223-224).  The oracle
+    re-builds the exact JSON body and header rendering in DuckDB — the
+    frame the kafka jar would publish is byte-checked without a broker.
+    Headers stringify for the hash (binary/array cells are unhashable in
+    the driver's comparator)."""
+    from .sources.realtime import to_kafka_frame
+
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_linenumber") == 1
+    ).withColumn("part_id", (F.col("l_orderkey") % 8).cast("int"))
+    frame = to_kafka_frame(
+        li,
+        topic="lineitem",
+        key_col="l_orderkey",
+        value_cols=["l_orderkey", "l_returnflag"],
+        header_cols=["l_linestatus"],
+        partition_col="part_id",
+    )
+    return frame.select(
+        "key",
+        "value",
+        "topic",
+        "partition",
+        F.array_join(
+            F.transform(
+                "headers",
+                lambda h: F.concat(
+                    F.lit("status="), h["value"].cast("string")
+                ),
+            ),
+            "|",
+        ).alias("headers_str"),
+    )
+
+
+@_q(
+    "http_frame_requests",
+    """
+    SELECT 'https://api.example.com/orders/' || l_orderkey
+               || '/items?flag=' || l_returnflag AS url,
+           'GET' AS method,
+           'application/json' AS content_type,
+           '{"l_quantity":' || CAST(l_quantity AS BIGINT) || '}' AS value,
+           'X-Run=bench' AS headers_str
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def http_frame_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP real-time request construction from the reference's prefixed
+    column conventions (pathParam<name> / queryParam<name> substitution,
+    HTTP_*_COL_PREFIX constants): one request row per input row, URL and
+    JSON body byte-checked by the DuckDB oracle without any server."""
+    from .sources.realtime import to_http_frame
+
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_linenumber") == 1
+    ).select(
+        F.col("l_orderkey").alias("pathParamid"),
+        F.col("l_returnflag").alias("queryParamflag"),
+        F.col("l_quantity").cast("bigint").alias("l_quantity"),
+    )
+    frame = to_http_frame(
+        li,
+        url_template="https://api.example.com/orders/{id}/items",
+        method="get",
+        static_headers={"X-Run": "bench"},
+    )
+    return frame.select(
+        "url",
+        "method",
+        "content_type",
+        "value",
+        F.array_join(
+            F.transform(
+                F.map_entries("headers"),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            "|",
+        ).alias("headers_str"),
+    )
+
+
 def _conversation_rollup_golden_oracle() -> str:
     from .golden import conversation_rollup_golden_sql
 
@@ -2467,6 +2564,8 @@ _DRIVER_PRIORITY = [
     "jdbc_roundtrip_counts",
     "generate_expression_fields",
     "plan_run_end_to_end",
+    "kafka_frame_payloads",
+    "http_frame_requests",
     "streaming_quality_turns",
     "streaming_window_metrics",
     "sampling_split_integrity",
