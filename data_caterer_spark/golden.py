@@ -755,3 +755,103 @@ def seeded_table_golden_sql(n_rows: int = 1000, n_parts: int = 4) -> str:
         + ") AS g(acct_id, status, balance, opened, year, is_rich, fee, "
         "ref_code, score, details)"
     )
+
+
+def semantic_dedup_golden_sql(
+    sf_dir: str | None = None,
+    eps: float = 0.75,
+    n_clusters: int | None = None,
+    iters: int = 5,
+    seed: int = 42,
+    rows_per_cluster: int = 64,
+    sample_rows: int = 10_000,
+) -> str:
+    """Independent replay of the SemDeDup pass (similarity.
+    semantic_dedup_drops): same n_clusters derivation + seeded
+    md5-threshold training sample in id order, same shared k-means /
+    assignment kernels, dict-based within-cluster pairing with
+    fold-order-exact cosine, union-find components, min-id
+    representative kept — dropped ids as a VALUES relation."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from .operators.sampling import fraction_threshold
+    from .operators.similarity import (
+        TRAIN_ROWS_PER_LIST,
+        derive_n_lists,
+        kmeans_fit,
+        nearest_lists,
+    )
+
+    sf = sf_dir or _oracle_sf_dir()
+    recs = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+    ids = [r[0] for r in recs]
+    vecs = {r[0]: [float(x) for x in r[1]] for r in recs}
+    n = len(ids)
+    if n_clusters is None:
+        n_clusters = derive_n_lists(n, rows_per_cluster)
+    eff = max(sample_rows, TRAIN_ROWS_PER_LIST * n_clusters)
+    thr_hex = fraction_threshold(min(1.0, eff / max(n, 1)))
+    samp = sorted(
+        vid
+        for vid in ids
+        if hashlib.md5(f"{seed}\x1f{vid}".encode()).hexdigest()[:8] < thr_hex
+    )
+    x = np.array([vecs[i] for i in samp], dtype=np.float64)
+    cent = kmeans_fit(x, min(n_clusters, len(x)), iters=iters, seed=seed)
+    mat = np.array([vecs[i] for i in ids], dtype=np.float64)
+    order = nearest_lists(mat, cent, 1)
+    clusters: dict[int, list[int]] = {}
+    for row, vid in enumerate(ids):
+        clusters.setdefault(int(order[row, 0]), []).append(vid)
+
+    import math
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for p, q in zip(a, b):
+            acc += p * q
+        return acc
+
+    def fold_norm(a):
+        acc = 0.0
+        for p in a:
+            acc += p * p
+        return math.sqrt(acc)
+
+    thr = 1.0 - eps
+    parent: dict[int, int] = {}
+
+    def find(u: int) -> int:
+        while parent.get(u, u) != u:
+            parent[u] = parent.get(parent[u], parent[u])
+            u = parent[u]
+        return u
+
+    def union(u: int, v: int) -> None:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = min(ru, rv), max(ru, rv)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+
+    for members in clusters.values():
+        members = sorted(members)
+        for i, ia in enumerate(members):
+            na = fold_norm(vecs[ia])
+            for ib in members[i + 1 :]:
+                nb = fold_norm(vecs[ib])
+                if not (na > 0 and nb > 0):
+                    continue
+                cos = _spark_round(fold_dot(vecs[ia], vecs[ib]) / (na * nb), 6)
+                if cos >= thr:
+                    union(ia, ib)
+    drops = sorted(u for u in parent if find(u) != u)
+    if not drops:
+        return "SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1=0"
+    rows = [f"(CAST({d} AS BIGINT))" for d in drops]
+    return _values_sql(rows, "vec_id")

@@ -696,3 +696,117 @@ def quantized_cosine_topk(
         F.round(cosine(F.col("q8"), qq), 6).alias("cos_sim"),
     ).where(F.col("cos_sim").isNotNull())
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (cluster -> within-cluster prune)
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    dim: int,
+    eps: float = 0.05,
+    n_clusters: int | None = None,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_cluster: int = 64,
+    sample_rows: int = 10_000,
+) -> DataFrame:
+    """Semantic near-duplicate pairs: cosine >= 1 - eps AND same k-means
+    cluster — the SemDeDup recipe (Abbas et al. 2023, public): cluster the
+    embedding space with k-means, then compare pairs ONLY within a
+    cluster, so the pairwise work is n * rows_per_cluster instead of n^2.
+
+    Built from the shared IVF kernels: the quantizer trains on a seeded
+    hash sample (:func:`train_ivf_centroids`), assignment is one
+    broadcast matmul per Arrow batch (:func:`with_ivf_list`, 1 probe —
+    SemDeDup compares strictly within a cluster), and the candidate join
+    carries (cluster, id) only with vectors re-joined after dedup — the
+    same shuffle discipline as :func:`ivf_knn_join`.  A near-dup pair
+    split across a cluster boundary is missed by construction; that is
+    the published algorithm's recall trade, not an implementation gap.
+    """
+    n_rows = df.count()
+    if n_clusters is None:
+        n_clusters = derive_n_lists(n_rows, rows_per_cluster)
+    eff_sample = max(sample_rows, TRAIN_ROWS_PER_LIST * n_clusters)
+    centroids = train_ivf_centroids(
+        df,
+        dim,
+        n_lists=n_clusters,
+        iters=iters,
+        seed=seed,
+        sample_rows=eff_sample,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_rows=n_rows,
+    )
+    assigned = with_ivf_list(df, centroids, vec_col, probes=1)
+    slim = assigned.select(
+        F.col(id_col).alias("id"),
+        F.element_at("ivf_list", 1).alias("cluster"),
+    ).persist()
+    slim.count()
+    a = slim.select("cluster", F.col("id").alias("id_a"))
+    b = slim.select("cluster", F.col("id").alias("id_b"))
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    thr = 1.0 - eps
+    return (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("cluster", "id_a", "id_b")
+        .join(
+            vecs.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb")),
+            "id_b",
+        )
+        .select(
+            "cluster",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= thr)
+    )
+
+
+def semantic_dedup_drops(
+    df: DataFrame,
+    dim: int,
+    eps: float = 0.05,
+    n_clusters: int | None = None,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_cluster: int = 64,
+) -> DataFrame:
+    """Rows a SemDeDup pass would DROP: connected components over the
+    within-cluster near-dup pairs, keep the min-id representative of each
+    component (deterministic), drop the rest.  Returns (vec_id)."""
+    from .dedup import connected_components
+
+    pairs = semantic_dedup_pairs(
+        df,
+        dim,
+        eps=eps,
+        n_clusters=n_clusters,
+        iters=iters,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        rows_per_cluster=rows_per_cluster,
+    )
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    return comps.where(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )

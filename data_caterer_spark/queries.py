@@ -1133,6 +1133,26 @@ def ivf_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_knn_join(df, dim, k=3)
 
 
+def _semantic_dedup_golden_oracle() -> str:
+    from .golden import semantic_dedup_golden_sql
+
+    return semantic_dedup_golden_sql(eps=0.75)
+
+
+@_q("semantic_dedup_drops", _semantic_dedup_golden_oracle)
+def semantic_dedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster the embedding space
+    with the shared k-means quantizer, compare pairs only WITHIN a
+    cluster, drop all but the min-id representative of each cosine>=1-eps
+    component).  eps=0.75 exercises the machinery on this random-vector
+    table (true near-dups would use eps~0.05).  Oracle = the independent
+    single-process replay (golden.semantic_dedup_golden_sql: same
+    derivation/sample/kernels, union-find components)."""
+    df = _read(spark, sf_dir, "embeddings")
+    dim = len(df.select("embedding").first()["embedding"])
+    return SIM.semantic_dedup_drops(df, dim, eps=0.75).orderBy("vec_id")
+
+
 @_q("lsh_knn_embeddings", _lsh_knn_golden_oracle)
 def lsh_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate knn join via random-hyperplane LSH; oracle = the
@@ -2566,6 +2586,7 @@ _DRIVER_PRIORITY = [
     "plan_run_end_to_end",
     "kafka_frame_payloads",
     "http_frame_requests",
+    "semantic_dedup_drops",
     "streaming_quality_turns",
     "streaming_window_metrics",
     "sampling_split_integrity",

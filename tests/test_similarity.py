@@ -142,6 +142,28 @@ def test_ivf_hash_sample_balances_clustered_input(spark):
     assert hash_max <= prefix_max, (hash_max, prefix_max)
 
 
+def test_semantic_dedup_drops_planted_duplicates(emb, spark):
+    """SemDeDup semantics on planted near-identical vectors: a tiny
+    perturbation of an existing vector shares its k-means cluster, so the
+    pair meets inside the cluster, exceeds cos >= 1-eps, and the higher
+    id drops; unrelated random vectors survive."""
+    base = emb.limit(60)
+    dim = len(emb.first()["embedding"])
+    dup = base.limit(10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0001).alias("embedding"),
+        "label",
+    )
+    both = base.unionByName(dup)
+    drops = {
+        r["vec_id"]
+        for r in S.semantic_dedup_drops(both, dim, eps=0.05).collect()
+    }
+    planted = {r["vec_id"] + 100000 for r in base.limit(10).collect()}
+    # every planted duplicate pair lost exactly its higher-id member
+    assert drops == planted, (sorted(drops)[:5], sorted(planted)[:5])
+
+
 def test_multiprobe_improves_recall(emb):
     dim = len(emb.first()["embedding"])
     sample = emb.limit(200)
