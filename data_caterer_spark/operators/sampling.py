@@ -83,6 +83,50 @@ def with_split(
     )
 
 
+def temperature_fractions(
+    counts: "dict[str, int]", alpha: float = 0.7
+) -> "dict[str, float]":
+    """Per-stratum keep fractions for temperature-based mixing.
+
+    Multilingual-LM practice (public: the mBERT / XLM-R exponential-
+    smoothing recipe): target shares ``q_i ∝ n_i^alpha`` flatten a skewed
+    source distribution (alpha=1 keeps natural proportions, alpha->0
+    approaches uniform).  A filtering pipeline can only DOWNSAMPLE, so
+    keep fractions are ``f_i = n_i^(alpha-1)`` scaled so the most
+    downweighted-per-row stratum keeps 1.0 — the largest mix achieving
+    the target proportions without replication."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    ratio = {k: n ** (alpha - 1.0) for k, n in counts.items() if n > 0}
+    if not ratio:
+        return {}
+    m = max(ratio.values())
+    return {k: min(1.0, r / m) for k, r in ratio.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    key_cols: list[str],
+    alpha: float = 0.7,
+    seed: int = 42,
+) -> "tuple[DataFrame, dict[str, float]]":
+    """Deterministic temperature-mixed sample: one tiny count aggregate
+    to size the strata (driver-side — strata are languages/sources, a
+    bounded set), then ONE scan filtered by the per-stratum md5 threshold
+    (:func:`stratified_hash_sample`).  Returns (sampled df, fractions)."""
+    counts = {
+        r[stratum_col]: r["count"]
+        for r in df.groupBy(stratum_col).count().collect()
+        if r[stratum_col] is not None
+    }
+    fracs = temperature_fractions(counts, alpha)
+    return (
+        stratified_hash_sample(df, stratum_col, fracs, key_cols, seed=seed),
+        fracs,
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     stratum_col: str,

@@ -2021,6 +2021,53 @@ def sampling_split_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _temperature_mix_sql() -> str:
+    """Lazy oracle: DuckDB computes the same stratum counts, the shared
+    Python helpers derive the same fractions/thresholds, and the filter
+    expression is identical SQL — no golden replay, fully exact."""
+    import duckdb
+
+    from .golden import _oracle_sf_dir
+    from .operators.sampling import fraction_threshold, temperature_fractions
+
+    sf = _oracle_sf_dir()
+    counts = dict(
+        duckdb.sql(
+            f"SELECT lang, count(*) FROM read_parquet('{sf}/documents.parquet') "
+            "WHERE lang IS NOT NULL GROUP BY lang"
+        ).fetchall()
+    )
+    fracs = temperature_fractions(counts, alpha=0.7)
+    case = " ".join(
+        f"WHEN '{k}' THEN '{fraction_threshold(v)}'"
+        for k, v in sorted(fracs.items())
+    )
+    return f"""
+        SELECT lang, COUNT(*) AS n_docs
+        FROM documents
+        WHERE substr(md5(concat_ws(chr(31), '42',
+                  CAST(doc_id AS VARCHAR))), 1, 8) <
+              CASE lang {case} ELSE '00000000' END
+        GROUP BY lang
+    """
+
+
+@_q("temperature_mix_counts", _temperature_mix_sql)
+def temperature_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based training-mix sampling (the multilingual-LM
+    n^alpha smoothing recipe, downsample-only): one count aggregate sizes
+    the language strata, then one md5-threshold scan keeps each language
+    at its n^(alpha-1)-scaled fraction — flattening the en-heavy skew
+    deterministically (retry/cluster-size invariant, no RNG).  Oracle:
+    DuckDB recomputes counts, the SHARED fraction/threshold helpers
+    render the identical filter expression."""
+    docs = _read(spark, sf_dir, "documents")
+    sampled, _fracs = SAMP.temperature_mix(
+        docs, "lang", ["doc_id"], alpha=0.7, seed=42
+    )
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def _stratified_sql() -> str:
     from .operators.sampling import fraction_threshold
 
@@ -2587,6 +2634,7 @@ _DRIVER_PRIORITY = [
     "kafka_frame_payloads",
     "http_frame_requests",
     "semantic_dedup_drops",
+    "temperature_mix_counts",
     "streaming_quality_turns",
     "streaming_window_metrics",
     "sampling_split_integrity",

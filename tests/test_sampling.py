@@ -27,6 +27,55 @@ def test_hash_sample_fraction_one_is_identity(spark):
     assert S.hash_sample(df, ["id"], 1.0).count() == 5_000
 
 
+def test_temperature_fractions_math():
+    counts = {"en": 800, "fr": 100, "de": 100}
+    # alpha=1: natural proportions -> keep everything
+    assert S.temperature_fractions(counts, alpha=1.0) == {
+        "en": 1.0, "fr": 1.0, "de": 1.0,
+    }
+    f = S.temperature_fractions(counts, alpha=0.5)
+    # smallest strata keep 1.0; the big one downsamples by sqrt ratio
+    assert f["fr"] == 1.0 and f["de"] == 1.0
+    assert abs(f["en"] - (100 / 800) ** 0.5) < 1e-12
+    # resulting mix hits the n^alpha target shares
+    kept = {k: counts[k] * f[k] for k in counts}
+    shares = {k: v / sum(kept.values()) for k, v in kept.items()}
+    target = {k: counts[k] ** 0.5 for k in counts}
+    target = {k: v / sum(target.values()) for k, v in target.items()}
+    assert all(abs(shares[k] - target[k]) < 1e-12 for k in counts)
+    import pytest
+
+    with pytest.raises(ValueError):
+        S.temperature_fractions(counts, alpha=0.0)
+
+
+def test_temperature_mix_flattens_skew(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    before = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    sampled, fracs = S.temperature_mix(docs, "lang", ["doc_id"], alpha=0.5)
+    after = {
+        r["lang"]: r["count"]
+        for r in sampled.groupBy("lang").count().collect()
+    }
+    # skew strictly reduced; smallest language kept whole
+    smallest = min(before, key=before.get)
+    biggest = max(before, key=before.get)
+    assert fracs[smallest] == 1.0
+    assert after[smallest] == before[smallest]
+    assert after[biggest] < before[biggest]
+    assert (after[biggest] / after[smallest]) < (
+        before[biggest] / before[smallest]
+    )
+    # determinism: rerun is identical
+    again, _ = S.temperature_mix(docs, "lang", ["doc_id"], alpha=0.5)
+    assert {
+        r["lang"]: r["count"] for r in again.groupBy("lang").count().collect()
+    } == after
+
+
 def test_hash_sample_deterministic_and_approximate(spark):
     df = spark.range(20_000).select(F.col("id"))
     a = S.hash_sample(df, ["id"], 0.1, seed=7)
