@@ -781,3 +781,92 @@ def decontaminate(
         corpus, eval_df, id_col, text_col, k, min_overlap
     ).select(id_col)
     return corpus.join(F.broadcast(hits), id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# corpus-level repeated-span removal (C4 / RefinedWeb line-dedup analog)
+# --------------------------------------------------------------------------
+
+
+def doc_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode each document into consecutive non-overlapping k-token
+    spans: (id, cidx, span, n_toks).  The tail span may carry < k tokens
+    — it never participates in repetition counting or removal.  Pure
+    Catalyst (split + sequence/slice HOFs), no UDF."""
+    toks = F.split(F.col(text_col), " ")
+    spans = F.transform(
+        F.sequence(
+            F.lit(0),
+            (F.ceil(F.size(toks) / F.lit(k)) - 1).cast("int"),
+        ),
+        lambda c: F.struct(
+            c.alias("cidx"),
+            F.array_join(F.slice(toks, c * k + 1, k), " ").alias("span"),
+            F.size(F.slice(toks, c * k + 1, k)).alias("n_toks"),
+        ),
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.explode(spans).alias("s"))
+        .select("id", "s.cidx", "s.span", "s.n_toks")
+    )
+
+
+def drop_repeated_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove exact k-token spans that occur in >= ``min_docs`` distinct
+    documents — the C4/RefinedWeb "repeated line/span" hygiene step
+    (boilerplate, licenses, navigation chrome repeat verbatim across a
+    crawl; their repetition count IS the detector).
+
+    Returns (id_col, clean_text, n_removed) for every non-null-text row;
+    a document whose every span repeats keeps an empty clean_text.
+
+    Scale shape: repetition counting shuffles (xxhash64(span), id) longs
+    — never span text — with a map-side combine; only the reassembly
+    shuffle carries surviving span text, keyed by the document id (the
+    output's own key, no skew beyond document length).  The hot-span set
+    is NOT broadcast: it stays an equi-join on the hash (boilerplate sets
+    can reach millions of spans at crawl scale).
+    """
+    spans = doc_spans(df, k=k, id_col=id_col, text_col=text_col)
+    spans = spans.withColumn("__h", F.xxhash64("span"))
+    hot = (
+        spans.where(F.col("n_toks") == k)
+        .groupBy("__h")
+        .agg(F.count_distinct("id").alias("docs"))
+        .where(F.col("docs") >= min_docs)
+        .select("__h")
+    )
+    kept = spans.join(hot, "__h", "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cidx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = spans.groupBy("id").agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        totals.join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (
+                F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0))
+            ).cast("int").alias("n_removed"),
+        )
+    )

@@ -1133,6 +1133,59 @@ def ivf_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_knn_join(df, dim, k=3)
 
 
+@_q(
+    "repeated_span_removal",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ch AS (
+      SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS cidx, t[i] AS tok, i
+      FROM toks, (SELECT unnest(generate_series(1, 100000)) AS i)
+      WHERE i <= len(t)
+    ),
+    spans AS (
+      SELECT doc_id, cidx,
+             string_agg(tok, ' ' ORDER BY i) AS span,
+             count(*) AS n_toks
+      FROM ch GROUP BY doc_id, cidx
+    ),
+    hot AS (
+      SELECT span FROM spans WHERE n_toks = 8
+      GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT s.* FROM spans s ANTI JOIN hot h ON s.span = h.span
+    ),
+    reassembled AS (
+      SELECT doc_id,
+             string_agg(span, ' ' ORDER BY cidx) AS clean_text,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS total_n FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           md5(coalesce(r.clean_text, '')) AS clean_md5,
+           CAST(t.total_n - coalesce(r.kept_n, 0) AS INTEGER) AS n_removed
+    FROM totals t LEFT JOIN reassembled r ON t.doc_id = r.doc_id
+    """,
+)
+def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-span removal (the C4/RefinedWeb hygiene step:
+    exact k-token spans occurring in >= 2 documents are boilerplate and
+    get cut).  Repetition counting shuffles span HASHES only; reassembly
+    is keyed by the document.  Oracle: the identical split/chunk/count/
+    reassemble computation in DuckDB SQL — clean text compared via md5."""
+    docs = _read(spark, sf_dir, "documents")
+    out = D.drop_repeated_spans(docs, k=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+        "n_removed",
+    )
+
+
 def _semantic_dedup_golden_oracle() -> str:
     from .golden import semantic_dedup_golden_sql
 
@@ -2635,6 +2688,7 @@ _DRIVER_PRIORITY = [
     "http_frame_requests",
     "semantic_dedup_drops",
     "temperature_mix_counts",
+    "repeated_span_removal",
     "streaming_quality_turns",
     "streaming_window_metrics",
     "sampling_split_integrity",

@@ -213,3 +213,32 @@ def test_end_to_end_near_dedup(spark, sf_dir):
     )
     n_clusters = D.connected_components(pairs).select("cluster").distinct().count()
     assert kept.count() == docs.count() - (n_pairs_members - n_clusters)
+
+
+def test_repeated_span_removal_cuts_planted_boilerplate(spark):
+    """Plant an identical 8-token boilerplate span in several docs: the
+    span is cut everywhere, unique content survives verbatim, and a doc
+    that is ONLY boilerplate comes back empty."""
+    boiler = "subscribe to our newsletter for all the updates"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta epsilon zeta eta theta {boiler}"),
+            (2, f"{boiler} one two three four five six seven eight"),
+            (3, boiler),
+            (4, "iota kappa lambda mu nu xi omicron pi"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.drop_repeated_spans(docs, k=8, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # null-text doc excluded
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "one two three four five six seven eight"
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+    # unique doc untouched (its span occurs once)
+    assert out[4]["clean_text"] == "iota kappa lambda mu nu xi omicron pi"
+    assert out[4]["n_removed"] == 0
