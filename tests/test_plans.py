@@ -151,6 +151,23 @@ def test_fk_assignment_has_no_window(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_new_dedup_ops_have_no_cross_joins(spark, sf_dir):
+    """Semantic dedup and repeated-span removal must never materialize a
+    cross join: every candidate path is an equi-join on a derived key
+    (cluster id / span hash)."""
+    from data_caterer_spark.operators.dedup import drop_repeated_spans
+    from data_caterer_spark.operators.similarity import semantic_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    span_plan = _plan(drop_repeated_spans(docs, k=8, min_docs=2))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    sem_plan = _plan(semantic_dedup_pairs(emb, dim, eps=0.75))
+    for plan in (span_plan, sem_plan):
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_fk_assignment_large_keyset_not_broadcast(spark):
     """Above the key-count threshold the ordinal join must NOT carry a
     broadcast hint: millions of composite keys would OOM the driver; the
