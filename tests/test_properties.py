@@ -183,3 +183,77 @@ def test_budget_prefix_invariant_sequential(costs, budget):
     cums = np.cumsum(costs) if costs else np.array([])
     kept_filter = int((cums <= budget).sum())
     assert kept_filter == keep
+
+
+# --------------------------------------------------------------------------
+# round-3 kernels: fdlibm log, temperature mixing, IVF sizing
+# --------------------------------------------------------------------------
+
+import struct
+
+from data_caterer_spark.operators.sampling import (
+    fraction_threshold,
+    temperature_fractions,
+)
+from data_caterer_spark.operators.similarity import derive_n_lists
+from data_caterer_spark.sparkrng import _strict_log
+
+
+@given(
+    st.floats(
+        min_value=5e-324, max_value=1.7e308,
+        allow_nan=False, allow_infinity=False,
+    )
+)
+@settings(max_examples=2000, deadline=None)
+def test_strict_log_within_one_ulp_of_libm(x):
+    """fdlibm log (StrictMath) and the platform libm agree to <= 1 ulp on
+    every representable positive double, subnormals included."""
+    a, b = _strict_log(x), math.log(x)
+    ia = struct.unpack(">q", struct.pack(">d", a))[0]
+    ib = struct.unpack(">q", struct.pack(">d", b))[0]
+    assert abs(ia - ib) <= 1, (x, a, b)
+
+
+@given(
+    st.dictionaries(
+        st.text(min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=1,
+        max_size=20,
+    ),
+    st.floats(min_value=0.05, max_value=1.0),
+)
+@settings(max_examples=300, deadline=None)
+def test_temperature_fractions_properties(counts, alpha):
+    f = temperature_fractions(counts, alpha)
+    assert set(f) == set(counts)
+    assert all(0.0 < v <= 1.0 for v in f.values())
+    assert math.isclose(max(f.values()), 1.0)
+    # bigger strata never keep a larger fraction than smaller ones
+    ordered = sorted(counts, key=counts.get)
+    for a, b in zip(ordered, ordered[1:]):
+        assert f[a] >= f[b] - 1e-12
+
+
+@given(st.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=500, deadline=None)
+def test_fraction_threshold_is_monotone_hex(frac):
+    thr = fraction_threshold(frac)
+    if frac >= 1.0:
+        assert thr == "g"
+    else:
+        assert re.fullmatch(r"[0-9a-f]{8}", thr)
+        # monotone: a larger fraction never gets a smaller threshold
+        assert fraction_threshold(min(1.0, frac + 0.1)) >= thr
+
+
+@given(
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=1, max_value=4096),
+)
+@settings(max_examples=500, deadline=None)
+def test_derive_n_lists_bounds_and_monotonicity(n, rpl):
+    lists = derive_n_lists(n, rows_per_list=rpl)
+    assert 4 <= lists <= 65_536
+    assert derive_n_lists(n + rpl, rows_per_list=rpl) >= lists
