@@ -167,3 +167,73 @@ def sessionize(
     return df.withColumn("__start", is_start).withColumn(
         out_col, F.sum("__start").over(run)
     ).drop("__start")
+
+
+def concat_pack(
+    df: DataFrame,
+    budget: int,
+    size_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    bin_col: str = "bin",
+    offset_col: str = "bin_offset",
+) -> DataFrame:
+    """Assign documents to fixed-size context windows — the GPT-style
+    concat-and-chunk pretraining step: order the corpus in a deterministic
+    pseudo-random stream (md5 of the id — decorrelates length runs from
+    storage order), take the running token sum, and a document's bin is
+    ``floor(cum_before / budget)`` with ``cum_before % budget`` as its
+    offset in the window.
+
+    NO GLOBAL WINDOW: the running sum is distributed the same way as the
+    ordinal trick in ``generator.with_distributed_ordinal`` — range-
+    partition by the hash, pin the partition id as a COLUMN, ONE tiny job
+    collects per-partition size sums (num-partitions rows to the driver),
+    and the global cumulative sum is ``partition_offset + within-
+    partition running sum`` via a window keyed on the pinned id (so every
+    window group is one former range partition — balanced by
+    construction, never a single-partition funnel).  Deterministic on any
+    cluster size: the stream order is (hash, id), a pure function of the
+    data.
+    """
+    h = F.md5(
+        F.concat_ws(
+            "\x1f", F.lit(str(seed)), F.col(id_col).cast("string")
+        )
+    )
+    d = df.withColumn("__h", h).repartitionByRange(F.col("__h"), F.col(id_col))
+    # pin the range-partition id BEFORE anything downstream re-shuffles:
+    # the window exchange re-clusters rows, and a re-evaluated
+    # spark_partition_id() would index the offset array wrongly
+    d = d.withColumn("__pid", F.spark_partition_id()).persist()
+    # one tiny job: per-partition total sizes -> prefix offsets
+    part_sums = (
+        d.groupBy("__pid").agg(F.sum(size_col).alias("__sum")).collect()
+    )
+    by_pid = {r["__pid"]: r["__sum"] for r in part_sums}
+    max_pid = max(by_pid, default=-1)
+    offsets, acc = [], 0
+    for pid in range(max_pid + 1):
+        offsets.append(acc)
+        acc += by_pid.get(pid, 0)
+    offset_arr = (
+        F.array(*[F.lit(int(o)).cast("long") for o in offsets])
+        if offsets
+        else F.array()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_incl = F.sum(F.col(size_col)).over(w)
+    cum_before = (
+        F.element_at(offset_arr, F.col("__pid") + 1)
+        + cum_incl
+        - F.col(size_col)
+    )
+    return (
+        d.withColumn(bin_col, F.floor(cum_before / F.lit(budget)))
+        .withColumn(offset_col, cum_before % F.lit(budget))
+        .drop("__h", "__pid")
+    )

@@ -2491,6 +2491,44 @@ def budget_prefix_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pretrain_packing_bins",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             md5(concat_ws(chr(31), '42', CAST(doc_id AS VARCHAR))) AS h
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, n_chars,
+             CAST(sum(n_chars) OVER (
+                 ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) - n_chars AS cumb
+      FROM s
+    )
+    SELECT doc_id, n_chars,
+           CAST(cumb // 4096 AS BIGINT) AS bin,
+           CAST(cumb % 4096 AS BIGINT) AS bin_offset
+    FROM c
+    """,
+)
+def pretrain_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing: every document gets its
+    context-window bin and byte offset from a deterministic hash-ordered
+    stream (operators/windows.py concat_pack — distributed per-partition-
+    offset running sum, NO single-partition global window; cluster-size
+    invariant by construction).  Oracle = the equivalent GLOBAL window in
+    DuckDB, which a single process can afford — the distributed two-stage
+    sum must reproduce it exactly."""
+    from .operators.windows import concat_pack
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull()
+    ).select("doc_id", "n_chars")
+    return concat_pack(docs, budget=4096, size_col="n_chars", seed=42)
+
+
 _QUANT_SQL = """
     WITH t AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -2689,6 +2727,7 @@ _DRIVER_PRIORITY = [
     "semantic_dedup_drops",
     "temperature_mix_counts",
     "repeated_span_removal",
+    "pretrain_packing_bins",
     "streaming_quality_turns",
     "streaming_window_metrics",
     "sampling_split_integrity",

@@ -159,3 +159,31 @@ def test_sessionize_single_exchange(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     plan = sessionize(df, "user_id", "ts")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # both windows share one shuffle
+
+
+def test_concat_pack_bins_and_invariance(spark, sf_dir):
+    """GPT-style concat packing: offsets stay inside the budget, bin count
+    matches ceil(total/budget), assignment is identical on any input
+    partitioning (the distributed two-stage sum is cluster-size
+    invariant), and the plan has no single-partition global window."""
+    from data_caterer_spark.operators.windows import concat_pack
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).where("n_chars IS NOT NULL")
+    out = concat_pack(docs, budget=5000, size_col="n_chars")
+    rows = out.collect()
+    assert all(0 <= r["bin_offset"] < 5000 for r in rows)
+    total = sum(r["n_chars"] for r in rows)
+    assert max(r["bin"] for r in rows) + 1 == -(-total // 5000)
+    again = {
+        r["doc_id"]: (r["bin"], r["bin_offset"])
+        for r in concat_pack(
+            docs.repartition(7), budget=5000, size_col="n_chars"
+        ).collect()
+    }
+    assert {r["doc_id"]: (r["bin"], r["bin_offset"]) for r in rows} == again
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window must be keyed (per range partition), never a global
+    # single-partition sort: no Exchange SinglePartition anywhere
+    assert "SinglePartition" not in plan
