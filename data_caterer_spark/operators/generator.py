@@ -451,6 +451,18 @@ def foreign_key_insert_order(
     return order
 
 
+def foreign_key_delete_order(
+    relationships: Sequence[tuple[str, str]]
+) -> list[str]:
+    """Reverse topological order over (source, target) FK pairs —
+    referencing tables first, referenced parents last, so sink cleanup
+    never breaks referential integrity mid-delete
+    (``ForeignKeyUtil.scala:206-240`` getDeleteOrder: for key2
+    referencing key1 and key3 referencing key2, delete key3, key2,
+    key1)."""
+    return list(reversed(foreign_key_insert_order(relationships)))
+
+
 def apply_foreign_keys(
     tables: dict[str, DataFrame],
     foreign_keys: Sequence[tuple[str, "str | Sequence[str]", str, "str | Sequence[str]"]],

@@ -115,9 +115,15 @@ class GenerationProcessor:
         self,
         spark: SparkSession,
         records_per_batch: int = 100_000,
+        enable_count: bool = True,
     ):
+        """``enable_count=False`` mirrors the reference's performance flag
+        (``SinkFactory.scala:26-32`` — "Count is disabled. It will help
+        with performance", record counts report -1): per-batch counts are
+        an extra action per step per batch, material on slow sinks."""
         self.spark = spark
         self.records_per_batch = records_per_batch
+        self.enable_count = enable_count
 
     def run(
         self,
@@ -221,7 +227,10 @@ class GenerationProcessor:
                         partition_by=step.sink.partition_by,
                     )
                     sink_stats[key]["wall"] += time.time() - t0
-                sink_stats[key]["rows"] += df.count()
+                if self.enable_count:
+                    sink_stats[key]["rows"] += df.count()
+                else:
+                    sink_stats[key]["rows"] = -1  # reference's disabled marker
                 accumulated[name] = (
                     df
                     if name not in accumulated

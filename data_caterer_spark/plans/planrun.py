@@ -93,6 +93,18 @@ class PlanRun:
 
 
 @dataclass
+class RunFlags:
+    """The reference's run-control flags (``FlagsConfig`` /
+    ``DataCatererConfigurationBuilder`` enable* toggles): phase switches
+    plus the count-avoidance performance flag."""
+
+    enable_generate_data: bool = True
+    enable_validation: bool = True
+    enable_count: bool = True
+    enable_delete_generated_records: bool = False
+
+
+@dataclass
 class PlanRunResult:
     tables: dict[str, DataFrame]
     step_results: list
@@ -357,14 +369,22 @@ def run_plan(
     spark: SparkSession,
     plan: PlanRun,
     records_per_batch: int = 100_000,
+    flags: RunFlags | None = None,
 ) -> PlanRunResult:
     """Execute: wait -> generate (FK-toposorted, batched, sinks) ->
     validate the written outputs.  Disabled tasks are skipped
-    (``account-create-plan.yaml`` disables its jms/kafka/http legs)."""
+    (``account-create-plan.yaml`` disables its jms/kafka/http legs);
+    ``flags`` gate the phases like the reference's enable* toggles."""
     from ..operators.generator import foreign_key_insert_order
     from ..operators.rules import expr_rule
     from ..sources.io import read_source
 
+    flags = flags or RunFlags()
+    if not flags.enable_generate_data:
+        raise ValueError(
+            "run_plan with enable_generate_data=False has nothing to run "
+            "(validation-only runs read existing data: use validate_plan)"
+        )
     if plan.wait is not None and not plan.wait.wait(spark):
         raise RuntimeError(f"plan {plan.name}: wait condition not met")
 
@@ -389,7 +409,11 @@ def run_plan(
                 continue
             fk_tuples.append((src_step, src_col, tgt_step, tgt_col))
 
-    processor = GenerationProcessor(spark, records_per_batch=records_per_batch)
+    processor = GenerationProcessor(
+        spark,
+        records_per_batch=records_per_batch,
+        enable_count=flags.enable_count,
+    )
     tables, step_results = processor.run(enabled, fk_tuples, plan.name)
     insert_order = (
         foreign_key_insert_order([(a, c) for a, _b, c, _d in fk_tuples])
@@ -398,7 +422,7 @@ def run_plan(
     )
 
     validation_results: dict[str, list[ValidationResult]] = {}
-    for vspec in plan.validations:
+    for vspec in plan.validations if flags.enable_validation else ():
         conn = plan.connections.get(vspec.data_source)
         fmt = conn.fmt if conn else "parquet"
         if vspec.path is None:
@@ -416,12 +440,57 @@ def run_plan(
                 rule = rule.describe(r["description"])
             rules.append(rule)
         validation_results[vspec.config_name] = validate_rules(df, rules)
+    if flags.enable_delete_generated_records:
+        delete_generated_outputs(plan)
     return PlanRunResult(
         tables=tables,
         step_results=step_results,
         validation_results=validation_results,
         insert_order=insert_order,
     )
+
+
+def delete_generated_outputs(plan: PlanRun) -> list[str]:
+    """Remove generated file-sink outputs in REVERSE FK order — children
+    (referencing steps) first, parents last, so a partially-completed
+    cleanup never leaves dangling references (the reference's
+    delete-generated-records mode, ``ForeignKeyUtil.scala:206-240``
+    getDeleteOrder).  Returns the deleted paths in deletion order.
+    Connection-managed sinks (jdbc/kafka) are not touched here — their
+    cleanup is a database operation, not a filesystem one."""
+    import shutil
+
+    from ..operators.generator import foreign_key_delete_order
+
+    enabled = [
+        plan.tasks[r.name]
+        for r in plan.task_refs
+        if r.enabled and r.name in plan.tasks
+    ]
+    step_names = {s.name for t in enabled for s in t.steps}
+    fk_pairs = []
+    for src_ref, targets in plan.foreign_keys:
+        try:
+            src_step, _ = _split_fk(src_ref, step_names)
+        except PlanParseError:
+            continue
+        for t_ref in targets:
+            try:
+                tgt_step, _ = _split_fk(t_ref, step_names)
+            except PlanParseError:
+                continue
+            fk_pairs.append((src_step, tgt_step))
+    order = foreign_key_delete_order(fk_pairs) if fk_pairs else []
+    ordered = order + sorted(s for s in step_names if s not in set(order))
+    by_name = {s.name: s for t in enabled for s in t.steps}
+    deleted = []
+    for name in ordered:
+        step = by_name.get(name)
+        if step is None or step.sink is None or step.sink.path is None:
+            continue
+        shutil.rmtree(step.sink.path, ignore_errors=True)
+        deleted.append(step.sink.path)
+    return deleted
 
 
 def run_plan_files(

@@ -163,3 +163,44 @@ def test_wait_condition_gates_plan(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="wait condition not met"):
         P.run_plan(spark, plan)
+
+
+def test_foreign_key_delete_order_is_reverse_topo():
+    from data_caterer_spark.operators.generator import (
+        foreign_key_delete_order,
+        foreign_key_insert_order,
+    )
+
+    rels = [("key1", "key2"), ("key2", "key3")]
+    assert foreign_key_insert_order(rels) == ["key1", "key2", "key3"]
+    # reference getDeleteOrder example: delete key3, key2, key1
+    assert foreign_key_delete_order(rels) == ["key3", "key2", "key1"]
+
+
+def test_run_flags_gate_phases_and_cleanup(spark, tmp_path):
+    import os
+
+    plan = _plan(tmp_path)
+    res = P.run_plan(
+        spark,
+        plan,
+        flags=P.RunFlags(enable_validation=False, enable_count=False),
+    )
+    # validation phase skipped; counts report the reference's -1 marker
+    assert res.validation_results == {}
+    assert all(s.num_records == -1 for s in res.step_results)
+    # sinks were still written
+    assert os.path.exists(str(tmp_path / "txn-gen"))
+    # cleanup: children (transactions) deleted before parents (accounts)
+    deleted = P.delete_generated_outputs(plan)
+    assert [os.path.basename(d) for d in deleted] == [
+        "txn-gen", "account-gen",
+    ]
+    assert not os.path.exists(str(tmp_path / "txn-gen"))
+    assert not os.path.exists(str(tmp_path / "account-gen"))
+    import pytest
+
+    with pytest.raises(ValueError, match="enable_generate_data"):
+        P.run_plan(
+            spark, plan, flags=P.RunFlags(enable_generate_data=False)
+        )
