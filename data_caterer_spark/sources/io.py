@@ -30,6 +30,7 @@ NON_BATCH_FORMATS = {"http", "jms"}
 #: (api Constants.scala:10-24 lists delta among supported formats; XML is
 #: native in Spark 4, so only delta/iceberg/cassandra/kafka stay gated)
 _JAR_GATED = {
+    "avro": ("spark-avro", "org.apache.spark:spark-avro"),
     "delta": ("delta-spark", "io.delta:delta-spark"),
     "iceberg": ("iceberg-spark-runtime", "org.apache.iceberg:iceberg-spark-runtime"),
     "cassandra": ("spark-cassandra-connector", "com.datastax.spark:spark-cassandra-connector"),

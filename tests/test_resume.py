@@ -140,6 +140,11 @@ def test_jar_gated_formats_error_clearly(spark):
     from data_caterer_spark.sources.io import format_available, read_source
 
     assert format_available("parquet") and format_available("xml")
+    # spark-avro is an external module: the bundled avro-core jars must
+    # not satisfy the gate (their names lack the 'spark-avro' marker)
+    if not format_available("avro"):
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_source(spark, "avro", path="/tmp/nope")
     if format_available("delta"):
         pytest.skip("delta jar present; gating path not applicable")
     with pytest.raises(RuntimeError, match="delta-spark"):
