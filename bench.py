@@ -50,6 +50,10 @@ HEADLINE = [
     "langid_documents",         # pandas-UDF broadcast-model inference
     "perplexity_documents",     # pandas-UDF numpy scoring
     "scrub_documents",          # sequential regex scrub chain
+    "semantic_dedup_drops",     # SemDeDup cluster->prune over embeddings
+    "repeated_span_removal",    # boilerplate span cut + text reassembly
+    "pretrain_packing_bins",    # concat-and-chunk context packing
+    "temperature_mix_counts",   # n^alpha training-mix sampling
 ]
 
 
