@@ -779,6 +779,45 @@ def semantic_dedup_pairs(
     )
 
 
+def per_cluster_components(
+    pairs: DataFrame, cluster_col: str = "cluster"
+) -> DataFrame:
+    """Connected components when every edge is CONFINED to a cluster key
+    — which SemDeDup guarantees by construction (pairs only form within a
+    k-means cluster).  One shuffle keyed by the cluster + a per-group
+    union-find in an Arrow batch: no iterative label propagation, no
+    checkpoint rounds, and the per-group state is bounded by the cluster
+    size (rows-per-cluster choose 2 edges max).  Returns (id, rep) with
+    rep = min member id, same semantics as the generic
+    ``dedup.connected_components``."""
+
+    def _components(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(u):
+            while parent.setdefault(u, u) != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+
+        for a, b in zip(pdf["id_a"], pdf["id_b"]):
+            a, b = int(a), int(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        rows = sorted(parent)
+        return pd.DataFrame(
+            {"id": rows, "rep": [find(u) for u in rows]}
+        )
+
+    return (
+        pairs.select(cluster_col, "id_a", "id_b")
+        .groupBy(cluster_col)
+        .applyInPandas(_components, "id long, rep long")
+    )
+
+
 def semantic_dedup_drops(
     df: DataFrame,
     dim: int,
@@ -790,11 +829,11 @@ def semantic_dedup_drops(
     vec_col: str = "embedding",
     rows_per_cluster: int = 64,
 ) -> DataFrame:
-    """Rows a SemDeDup pass would DROP: connected components over the
-    within-cluster near-dup pairs, keep the min-id representative of each
-    component (deterministic), drop the rest.  Returns (vec_id)."""
-    from .dedup import connected_components
-
+    """Rows a SemDeDup pass would DROP: components over the
+    within-cluster near-dup pairs (one-shuffle per-cluster union-find —
+    edges never cross clusters, so no iterative global propagation is
+    needed), keep the min-id representative of each component
+    (deterministic), drop the rest.  Returns (vec_id)."""
     pairs = semantic_dedup_pairs(
         df,
         dim,
@@ -806,7 +845,7 @@ def semantic_dedup_drops(
         vec_col=vec_col,
         rows_per_cluster=rows_per_cluster,
     )
-    comps = connected_components(pairs.select("id_a", "id_b"))
-    return comps.where(F.col("id") != F.col("cluster")).select(
+    comps = per_cluster_components(pairs)
+    return comps.where(F.col("id") != F.col("rep")).select(
         F.col("id").alias(id_col)
     )
