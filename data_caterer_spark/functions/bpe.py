@@ -1,0 +1,190 @@
+"""Byte-pair-encoding tokenizer — train on the corpus, tokenize at scale.
+
+The brief's text-analysis surface asks for token counting ("whitespace + a
+BPE-ish regex"); this module implements the real thing (Sennrich et al.
+2016, public): learn merge rules from corpus statistics, then tokenize
+with them.
+
+Distributed shape (the standard production decomposition):
+
+* **word frequencies** — ONE shuffle: lowercase whitespace words ->
+  groupBy(word).count().  By Heaps' law the distinct-word table is tiny
+  relative to the corpus (10^6-10^7 entries at web scale), so it is the
+  classic bounded intermediate;
+* **merge training** — DRIVER-side loop over the word-frequency dict
+  (exactly how reference BPE trainers consume a word-counts file): each
+  round counts weighted adjacent-symbol pairs over the vocab and merges
+  the most frequent (deterministic tie-break: lexicographically smallest
+  pair), nothing distributed to re-shuffle;
+* **tokenization** — merge ranks broadcast to executors, applied in an
+  Arrow-batched pandas UDF (the same broadcast-model deployment shape as
+  langid/perplexity); greedy lowest-rank-first merging per word, the
+  standard BPE apply.
+
+The Spark path and the golden oracle share these kernels, so the
+distributed run is hash-compared against a sequential replay that is
+bit-identical by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+#: end-of-word marker (Sennrich's convention) — lets merges distinguish
+#: word-final symbols ("est</w>" vs "est")
+END = "</w>"
+
+
+def words_column(text: str | Column) -> Column:
+    """Lowercase whitespace words, empty tokens dropped — the shared
+    normalization for training and tokenization."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.array_remove(F.split(F.lower(F.trim(col)), r"\s+"), "")
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq) over the corpus — one explode + one combinable
+    groupBy shuffle; the only distributed step of training."""
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(words_column(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared pure-Python kernels (Spark UDF + golden replay both call these)
+# ---------------------------------------------------------------------------
+
+
+def _word_symbols(word: str) -> tuple[str, ...]:
+    return tuple(word) + (END,)
+
+
+def train_bpe(
+    word_counts: "dict[str, int]", n_merges: int
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` merge rules from a word-frequency table.
+
+    Deterministic: the most frequent adjacent pair wins each round, ties
+    broken by the lexicographically smallest pair.  Stops early when no
+    pair repeats."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts.items():
+        if w:
+            sym = _word_symbols(w)
+            vocab[sym] = vocab.get(sym, 0) + int(c)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def apply_bpe_word(
+    word: str, ranks: "dict[tuple[str, str], int]"
+) -> list[str]:
+    """Tokenize one word: repeatedly merge the lowest-rank adjacent pair
+    (the standard greedy BPE apply)."""
+    sym = list(_word_symbols(word))
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def tokenize_text(
+    text: "str | None", ranks: "dict[tuple[str, str], int]"
+) -> list[str]:
+    if text is None:
+        return []
+    out: list[str] = []
+    for w in text.lower().split():
+        if w:
+            out.extend(apply_bpe_word(w, ranks))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# distributed tokenization
+# ---------------------------------------------------------------------------
+
+
+def with_bpe_tokens(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    count_col: str = "n_bpe_tokens",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Add the BPE token count (and optionally the tokens) per row: merge
+    ranks broadcast once, applied per Arrow batch — init-once-per-worker,
+    no per-row Python overhead beyond the batch loop."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        [(a, b) for a, b in merges]
+    )
+
+    @pandas_udf("array<string>")
+    def _tok(batches: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
+        ranks = {tuple(p): i for i, p in enumerate(bc.value)}
+        for series in batches:
+            yield pd.Series(
+                [tokenize_text(t, ranks) for t in series]
+            )
+
+    toks = _tok(F.col(text_col))
+    if tokens_col is not None:
+        df = df.withColumn(tokens_col, toks)
+        return df.withColumn(count_col, F.size(F.col(tokens_col)))
+    return df.withColumn(count_col, F.size(toks))
+
+
+def train_bpe_on_corpus(
+    df: DataFrame, n_merges: int = 200, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Corpus front door: distributed word frequencies -> driver merge
+    loop.  The collect is the bounded distinct-word table, NOT the
+    corpus."""
+    counts = {
+        r["word"]: r["freq"]
+        for r in word_frequencies(df, text_col).collect()
+    }
+    return train_bpe(counts, n_merges)

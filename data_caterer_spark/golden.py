@@ -855,3 +855,33 @@ def semantic_dedup_golden_sql(
         return "SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1=0"
     rows = [f"(CAST({d} AS BIGINT))" for d in drops]
     return _values_sql(rows, "vec_id")
+
+
+def bpe_golden_sql(sf_dir: str | None = None, n_merges: int = 200) -> str:
+    """Independent sequential replay of BPE train + tokenize over the
+    documents parquet: the SAME shared kernels (functions/bpe.py
+    train_bpe / tokenize_text) run single-process on duckdb-read text, so
+    the distributed word-count + broadcast-ranks UDF path must reproduce
+    every token stream byte-for-byte (compared via md5 of the joined
+    tokens)."""
+    from .functions.bpe import tokenize_text, train_bpe
+
+    docs = _documents(sf_dir or _oracle_sf_dir())
+    counts: dict[str, int] = {}
+    for _id, text in docs:
+        if text is None:
+            continue
+        for w in text.lower().split():
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    merges = train_bpe(counts, n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    rows = []
+    for doc_id, text in docs:
+        toks = tokenize_text(text, ranks)
+        digest = hashlib.md5("\x1f".join(toks).encode("utf-8")).hexdigest()
+        rows.append(
+            f"(CAST({doc_id} AS BIGINT), CAST({len(toks)} AS INTEGER), "
+            f"'{digest}')"
+        )
+    return _values_sql(rows, "doc_id, n_bpe_tokens, tokens_md5")

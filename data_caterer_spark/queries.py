@@ -1186,6 +1186,37 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_golden_oracle() -> str:
+    from .golden import bpe_golden_sql
+
+    return bpe_golden_sql(n_merges=200)
+
+
+@_q("bpe_token_counts", _bpe_golden_oracle)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization (Sennrich 2016): merge rules learned from
+    the corpus via ONE distributed word-frequency shuffle + a driver
+    merge loop over the bounded distinct-word table (the standard
+    decomposition — Heaps' law keeps that table tiny relative to the
+    corpus), then broadcast-ranks Arrow tokenization.  Oracle = the
+    sequential shared-kernel replay; token streams compared
+    byte-for-byte via md5."""
+    from .functions.bpe import train_bpe_on_corpus, with_bpe_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe_on_corpus(docs, n_merges=200)
+    out = with_bpe_tokens(
+        _fan_out(docs), merges, tokens_col="__toks"
+    )
+    return out.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.md5(
+            F.array_join("__toks", "\x1f").cast("binary")
+        ).alias("tokens_md5"),
+    )
+
+
 def _semantic_dedup_golden_oracle() -> str:
     from .golden import semantic_dedup_golden_sql
 
@@ -2728,6 +2759,7 @@ _DRIVER_PRIORITY = [
     "temperature_mix_counts",
     "repeated_span_removal",
     "pretrain_packing_bins",
+    "bpe_token_counts",
     "streaming_quality_turns",
     "streaming_window_metrics",
     "sampling_split_integrity",
