@@ -870,3 +870,79 @@ def drop_repeated_spans(
             ).cast("int").alias("n_removed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. 2003 — the MOSS algorithm)
+# --------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowed document fingerprints: hash every positional k-gram, then
+    keep the MINIMUM hash of each ``window`` consecutive positions — the
+    MOSS guarantee (any shared substring of length >= k+window-1 yields
+    at least one shared fingerprint, with ~2/(window+1) density).  Used
+    for copy/plagiarism detection where full shingle sets are too big to
+    index.
+
+    Pure Catalyst HOFs over (lowercased, space-split) tokens; the k-gram
+    hash is ``substr(md5(gram), 1, 16)`` so the DuckDB oracle computes
+    the identical selection.  Documents shorter than a full window fall
+    back to their single minimum hash (the standard boundary rule);
+    shorter than k tokens emit nothing.  Returns (id, fp) exploded — the
+    downstream overlap join is an equi-join on fp, same discipline as
+    every other candidate generator here.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    gram_hash = lambda i: F.substring(  # noqa: E731
+        F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 16
+    )
+    sh = F.when(
+        n >= k, F.transform(F.sequence(F.lit(0), n - k), gram_hash)
+    ).otherwise(F.array().cast("array<string>"))
+    d = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), sh.alias("__sh")
+    )
+    m = F.size("__sh")
+    mins = F.transform(
+        F.sequence(F.lit(0), m - window),
+        lambda p: F.array_min(F.slice("__sh", p + 1, window)),
+    )
+    fps = (
+        F.when(m >= window, F.array_distinct(mins))
+        .when(m > 0, F.array(F.array_min("__sh")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return d.select("id", F.explode(fps).alias("fp"))
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    k: int = 4,
+    window: int = 5,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs sharing >= ``min_shared`` winnowed fingerprints — the copy-
+    detection candidate set.  Equi-join on the 16-hex-char fingerprint
+    (ids only in the join), map-side-combinable count."""
+    fps = winnow_fingerprints(
+        df, k=k, window=window, id_col=id_col, text_col=text_col
+    )
+    a = fps.select("fp", F.col("id").alias("id_a"))
+    b = fps.select("fp", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

@@ -1186,6 +1186,49 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "winnowing_overlap",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+      SELECT doc_id, i,
+             substr(md5(array_to_string(t[i:i+3], ' ')), 1, 16) AS h
+      FROM toks, (SELECT unnest(generate_series(1, 100000)) AS i)
+      WHERE i <= len(t) - 3
+    ),
+    wins AS (
+      SELECT doc_id, i, h,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mh,
+             count(*) OVER (PARTITION BY doc_id) AS m
+      FROM sh
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, mh AS fp FROM wins WHERE m >= 5 AND i <= m - 4
+      UNION
+      SELECT DISTINCT doc_id, min(h) OVER (PARTITION BY doc_id) AS fp
+      FROM wins WHERE m < 5
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing copy-detection (the MOSS algorithm, Schleimer et al.
+    2003): positional 4-gram hashes -> minimum per 5-window ->
+    fingerprint equi-join -> pairs sharing >= 2 fingerprints.  The oracle
+    recomputes the identical selection in DuckDB (same md5 gram hash,
+    same window minimum, same boundary rule)."""
+    docs = _read(spark, sf_dir, "documents")
+    return D.winnowing_overlap_pairs(docs, k=4, window=5, min_shared=2)
+
+
 def _bpe_golden_oracle() -> str:
     from .golden import bpe_golden_sql
 
@@ -2760,6 +2803,7 @@ _DRIVER_PRIORITY = [
     "repeated_span_removal",
     "pretrain_packing_bins",
     "bpe_token_counts",
+    "winnowing_overlap",
     "streaming_quality_turns",
     "streaming_window_metrics",
     "sampling_split_integrity",

@@ -242,3 +242,34 @@ def test_repeated_span_removal_cuts_planted_boilerplate(spark):
     # unique doc untouched (its span occurs once)
     assert out[4]["clean_text"] == "iota kappa lambda mu nu xi omicron pi"
     assert out[4]["n_removed"] == 0
+
+
+def test_winnowing_guarantee_on_planted_copy(spark):
+    """The MOSS guarantee: a shared substring of >= k+window-1 tokens
+    (here 8) must produce at least one shared fingerprint; disjoint texts
+    share none."""
+    copied = "one two three four five six seven eight nine ten"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {copied} closing remark"),
+            (2, f"{copied} completely different ending text"),
+            (3, "unrelated body of text with no overlap at all whatsoever"),
+            (4, "tiny"),  # < k tokens: no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        (r["id"], r["fp"])
+        for r in D.winnow_fingerprints(docs, k=4, window=5).collect()
+    }
+    by_id = {}
+    for i, fp in fps:
+        by_id.setdefault(i, set()).add(fp)
+    assert 4 not in by_id  # too short to fingerprint
+    assert by_id[1] & by_id[2], "planted copy must share a fingerprint"
+    assert not (by_id[1] & by_id[3])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in D.winnowing_overlap_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
