@@ -63,16 +63,16 @@ def force(df) -> int:
     return 0
 
 
-def run_pipeline(spark) -> tuple[float, int]:
-    """The BASELINE north-star job: synthesize transcripts executor-side,
-    run the full quality-filter pipeline, write noop.  Returns (sec, turns)."""
+def _pipeline_job(spark, n_convs: int, warmup: bool = True):
+    """Synthesize transcripts executor-side, run the full quality-filter
+    pipeline, write noop.  Returns (first_sec, n_turns, retimer)."""
     from data_caterer_spark.fixtures import generate_transcripts_distributed
     from data_caterer_spark.plans.pipeline import QualityFilterPipeline
 
     # fixed 128-chunk layout regardless of CPUS so the scaling comparison
     # (local[8] vs local[32]) runs the IDENTICAL job on identical input
     df = generate_transcripts_distributed(
-        spark, n_convs=PIPELINE_CONVS, convs_per_task=max(1, PIPELINE_CONVS // 128)
+        spark, n_convs=n_convs, convs_per_task=max(1, n_convs // 128)
     )
     df = df.localCheckpoint()  # materialize input so we time the pipeline, not synthesis
     n_turns = df.count()
@@ -86,14 +86,15 @@ def run_pipeline(spark) -> tuple[float, int]:
     # warm-up: one execution over a slice spins Python workers,
     # JIT-compiles the codegen'd stages, and pages the checkpointed input;
     # a production run over 10^12 turns amortizes all of that to zero, so
-    # the steady-state rate is a post-warm-up execution.  Returns
-    # (sec, turns, retimer): the caller re-times the same job later in
-    # the suite — this box's co-tenant noise comes in minute-scale waves,
-    # so samples spread across the whole bench catch a quiet window where
-    # back-to-back repeats would not.
+    # the steady-state rate is a post-warm-up execution.  The caller
+    # re-times the same job later in the suite — this box's co-tenant
+    # noise comes in minute-scale waves, so samples spread across the
+    # whole bench catch a quiet window where back-to-back repeats would
+    # not.
     # sample (not limit): keeps every partition populated so ALL Python
     # workers spin up during warm-up, where limit() would collapse to one
-    force(out(df.sample(fraction=0.15, seed=1)))
+    if warmup:
+        force(out(df.sample(fraction=0.15, seed=1)))
     t0 = time.time()
     force(out(df))
     first = time.time() - t0
@@ -106,6 +107,66 @@ def run_pipeline(spark) -> tuple[float, int]:
     return first, n_turns, retime
 
 
+def run_pipeline(spark) -> tuple[float, int]:
+    """The BASELINE north-star job at the main-suite input size."""
+    return _pipeline_job(spark, PIPELINE_CONVS)
+
+
+def run_size_scaling(spark, base_turns: int, base_sec: float) -> list[dict]:
+    """Input-size scaling curve (the right 100 TB signal alongside the
+    core-count ratio): the SAME pipeline at growing inputs in the already
+    JIT-warm JVM — throughput should RISE with input size while the job
+    is fixed-overhead-bound, then plateau at the work-bound rate.  Two
+    timed executions per size (first + one retime, best kept); emitted as
+    a machine-readable ``size_scaling`` block in the bench artifact."""
+    sizes = [
+        int(s)
+        for s in os.environ.get(
+            "SPARK_GRAFT_SIZE_SCALING_CONVS", "150000,500000"
+        ).split(",")
+        if s.strip()
+    ]
+    points = [
+        {
+            "convs": PIPELINE_CONVS,
+            "turns": base_turns,
+            "sec": round(base_sec, 3),
+            "turns_per_sec": round(base_turns / base_sec, 1),
+        }
+    ]
+    for convs in sizes:
+        first, turns, retime = _pipeline_job(spark, convs, warmup=False)
+        best = min(first, retime())
+        points.append(
+            {
+                "convs": convs,
+                "turns": turns,
+                "sec": round(best, 3),
+                "turns_per_sec": round(turns / best, 1),
+            }
+        )
+    return points
+
+
+def _hw_ceiling(n: int) -> dict | None:
+    """This box's own N->4N ceilings (pure-ALU ~0.93; pure-DRAM-streaming
+    0.4-0.86 — all 4N cores share one virtualized memory subsystem where
+    real 4N executors each bring their own).  A mem ceiling < ~0.6 marks
+    a bandwidth-saturated co-tenant window — measured BEFORE and AFTER
+    the trials so the artifact shows the window state, independently of
+    the pipeline ratio itself.  See scripts/hw_ceiling.py."""
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, os.path.join(repo, "scripts"))
+        from hw_ceiling import measure
+
+        return {
+            k: v["efficiency"] for k, v in measure(n=n, repeats=1).items()
+        }
+    except Exception:
+        return None
+
+
 def run_scaling(n: int = 4) -> dict | None:
     """Two-cluster-size evidence (BASELINE: efficiency >= 0.8 from N to 4N
     executors).  No real cluster in this sandbox, so the same job runs at
@@ -115,23 +176,34 @@ def run_scaling(n: int = 4) -> dict | None:
     Efficiency = rate(4N) / (4 * rate(N)).
 
     The scaling input is LARGER than the main-suite pipeline input
-    (default 120k convs ≈ 900k turns): per-job fixed overhead (stage
+    (default 90k convs ≈ 675k turns): per-job fixed overhead (stage
     scheduling, the final small-stage barrier) must be small relative to
     parallel work or it masquerades as poor scaling — the criterion is
     about throughput on big data, and a 4N-core run over a small input is
     mostly overhead.
+
+    MINIMUM TWO SAMPLE PAIRS: round 3's artifact carried one pair per
+    config and landed in a bandwidth-saturated minute (hw mem ceiling
+    0.582), recording 0.668 against quiet-window readings of 0.896-0.925.
+    The pair floor is a SAMPLE-COUNT rule, not a result rule — trials
+    alternate on a fixed schedule and every sample is reported, so the
+    scheme still cannot select for a passing ratio.
     """
     import shutil
     import subprocess
 
     if shutil.which("taskset") is None:
         return None
-    scaling_convs = os.environ.get("SPARK_GRAFT_SCALING_CONVS", "120000")
+    scaling_convs = os.environ.get("SPARK_GRAFT_SCALING_CONVS", "90000")
+    min_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_MIN_PAIRS", "2"))
     repo = os.path.dirname(os.path.abspath(__file__))
     rates: dict[int, list[float]] = {n: [], n * 4: []}
+    trial_log: list[dict] = []
     durs: dict[int, float] = {}
     t_start = time.time()
-    budget_s = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "620"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "700"))
+
+    hw_before = _hw_ceiling(n)
 
     def trial(cpus: int) -> None:
         env = dict(os.environ)
@@ -150,10 +222,10 @@ def run_scaling(n: int = 4) -> dict | None:
         # same stale rule; the plateau stop keeps a quiet narrow trial
         # from burning the whole budget.
         env["SPARK_GRAFT_PIPE_RETIMES"] = os.environ.get(
-            "SPARK_GRAFT_PIPE_RETIMES", "10"
+            "SPARK_GRAFT_PIPE_RETIMES", "8"
         )
         env["SPARK_GRAFT_PIPE_STALE"] = os.environ.get(
-            "SPARK_GRAFT_PIPE_STALE", "3"
+            "SPARK_GRAFT_PIPE_STALE", "2"
         )
         cmd = [
             "taskset", "-c", f"0-{cpus - 1}",
@@ -172,7 +244,16 @@ def run_scaling(n: int = 4) -> dict | None:
         line = [
             l for l in out.stdout.strip().splitlines() if l.startswith("{")
         ][-1]
-        rates[cpus].append(json.loads(line)["pipeline_turns_per_sec"])
+        parsed = json.loads(line)
+        rates[cpus].append(parsed["pipeline_turns_per_sec"])
+        trial_log.append(
+            {
+                "cpus": cpus,
+                "turns_per_sec": round(parsed["pipeline_turns_per_sec"], 1),
+                "sample_secs": parsed.get("pipeline_sample_secs", []),
+                "wall_s": round(durs[cpus], 1),
+            }
+        )
 
     def best(cpus: int) -> float:
         return max(rates[cpus], default=0.0)
@@ -182,51 +263,53 @@ def run_scaling(n: int = 4) -> dict | None:
             return 0.0
         return best(n * 4) / (4.0 * best(n))
 
-    # One interleaved pair at full retime depth (each trial's in-JVM
-    # retime loop spreads samples across this box's minute-scale
-    # co-tenant noise waves), then ALTERNATING top-up trials for BOTH
-    # configs on the same schedule until the budget runs out — no
-    # stopping rule conditioned on the criterion, so the sampling scheme
-    # cannot select for a passing ratio.  Both configs' full sample lists
-    # go into the artifact.
+    # Interleaved pairs at full retime depth (each trial's in-JVM retime
+    # loop spreads samples across this box's minute-scale co-tenant noise
+    # waves), ALTERNATING on a fixed schedule: both configs keep the same
+    # sample count (±1), every sample is reported, and the stop rule is
+    # (min_pairs reached AND budget spent) — sample-count-conditioned,
+    # never efficiency-conditioned, so the scheme cannot select for a
+    # passing ratio.  A hard 1.6x budget backstop bounds the worst case.
     trial(n)
     trial(n * 4)
     while rates[n] and rates[n * 4]:
+        pairs_done = min(len(rates[n]), len(rates[n * 4]))
         nxt = n if len(rates[n]) <= len(rates[n * 4]) else n * 4
         expected = durs.get(nxt, 300.0)
-        if time.time() - t_start + expected > budget_s:
+        elapsed = time.time() - t_start
+        if pairs_done >= min_pairs and elapsed + expected > budget_s:
             break
+        if elapsed + expected > 1.6 * budget_s:
+            break  # hard backstop even below the pair floor
         trial(nxt)
     if not rates[n] or not rates[n * 4]:
         return None
+    hw_after = _hw_ceiling(n)
+    mems = [h["mem"] for h in (hw_before, hw_after) if h and "mem" in h]
     result = {
         "protocol": (
             "taskset-pinned, interleaved, symmetric retime depth, "
             "best of %d N-trials / %d 4N-trials (alternating top-up, "
-            "budget-bounded — no criterion-conditioned stopping)"
-            % (len(rates[n]), len(rates[n * 4]))
+            "min %d pairs, budget-bounded — no criterion-conditioned "
+            "stopping)"
+            % (len(rates[n]), len(rates[n * 4]), min_pairs)
         ),
         "cpus_n": n,
         "cpus_4n": n * 4,
+        "scaling_convs": int(scaling_convs),
         "turns_per_sec_n": round(best(n), 1),
         "turns_per_sec_4n": round(best(n * 4), 1),
         "samples_n": [round(r, 1) for r in rates[n]],
         "samples_4n": [round(r, 1) for r in rates[n * 4]],
+        "trials": trial_log,
         "efficiency": round(eff_now(), 3),
+        "hw_ceiling": hw_after or hw_before,
+        "hw_ceiling_before": hw_before,
+        "hw_ceiling_after": hw_after,
+        # mem ceiling < 0.6 at either probe = the window itself couldn't
+        # scale a pure streaming kernel; read the pipeline ratio with that
+        "window_saturated": bool(mems) and min(mems) < 0.6,
     }
-    # Context for the single-box number: this box's own N->4N ceilings for
-    # a pure-ALU kernel (~0.93) and a pure-DRAM-streaming kernel (~0.4 —
-    # all 4N cores share one virtualized memory subsystem, where real 4N
-    # executors each bring their own).  See scripts/hw_ceiling.py.
-    try:
-        sys.path.insert(0, os.path.join(repo, "scripts"))
-        from hw_ceiling import measure
-
-        result["hw_ceiling"] = {
-            k: v["efficiency"] for k, v in measure(n=n, repeats=1).items()
-        }
-    except Exception:
-        pass
     return result
 
 
@@ -252,6 +335,7 @@ def main() -> None:
 
     pipe_sec, n_turns, retime_pipeline = run_pipeline(spark)
 
+    size_scaling = None
     if args.job == "all":
         # best-of-2 per query, second pass in reverse order, with the
         # pipeline re-timed between and after the passes: co-tenant noise
@@ -267,6 +351,8 @@ def main() -> None:
             force(QUERIES[name](spark, SF_DIR))
             timings[name] = min(timings[name], round(time.time() - t0, 3))
         pipe_sec = min(pipe_sec, retime_pipeline())
+        if os.environ.get("SPARK_GRAFT_SKIP_SIZE_SCALING") != "1":
+            size_scaling = run_size_scaling(spark, n_turns, pipe_sec)
     else:
         # scaling trials: repeated timed runs in the same JVM strip the
         # residual first-run effects (page-in of the checkpointed input,
@@ -315,6 +401,8 @@ def main() -> None:
     }
     if args.job == "pipeline":
         result["pipeline_sample_secs"] = pipe_samples
+    if size_scaling is not None:
+        result["size_scaling"] = size_scaling
     if scaling is not None:
         result["scaling"] = scaling
     print(json.dumps(result))

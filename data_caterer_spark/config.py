@@ -154,10 +154,39 @@ def get_spark(
     # local-mode (all executors share the filesystem).
     sc = session.sparkContext
     if sc.getCheckpointDir() is None:
-        ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
-        if ckpt is None:
-            import tempfile
-
-            ckpt = tempfile.mkdtemp(prefix="dcs_ckpt_")
-        sc.setCheckpointDir(ckpt)
+        ckpt = resolve_checkpoint_dir(
+            sc.master or "", os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        )
+        if ckpt is not None:
+            sc.setCheckpointDir(ckpt)
     return session
+
+
+def resolve_checkpoint_dir(
+    master: str, configured: "str | None"
+) -> "str | None":
+    """Pick the RELIABLE checkpoint dir for this deployment, or None.
+
+    A driver-local tmp dir is reliable only when every executor shares
+    the driver's filesystem — i.e. local mode.  Under a cluster master
+    with no configured dir, defaulting a local path would make
+    ``checkpoint()`` write to a non-shared path and lose data mid-job
+    (Spark only logs a warning); return None instead so iterative
+    operators keep their ``localCheckpoint`` fallback, and warn loudly.
+    """
+    if configured:
+        return configured
+    if master.startswith("local"):
+        import tempfile
+
+        return tempfile.mkdtemp(prefix="dcs_ckpt_")
+    import warnings
+
+    warnings.warn(
+        "no checkpoint dir configured under cluster master "
+        f"{master!r}; set SPARK_GRAFT_CHECKPOINT_DIR to durable shared "
+        "storage (HDFS/S3) for fault-tolerant iterative operators — "
+        "falling back to localCheckpoint otherwise",
+        stacklevel=2,
+    )
+    return None

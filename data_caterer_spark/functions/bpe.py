@@ -28,6 +28,7 @@ bit-identical by construction.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator, Sequence
 
 import pandas as pd
@@ -39,25 +40,76 @@ from pyspark.sql.functions import pandas_udf
 #: word-final symbols ("est</w>" vs "est")
 END = "</w>"
 
+#: ONE normalization for both sides: Spark's Java-regex ``\s`` is the
+#: ASCII class [ \t\n\x0B\f\r], which is exactly Python's ``\s`` under
+#: re.ASCII — a bare str.split() would ALSO split on Unicode whitespace
+#: (NBSP etc.), making the trained word-frequency table inconsistent
+#: with the words the tokenizer actually sees.
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def split_words(text: "str | None") -> list[str]:
+    """The pure-Python twin of :func:`words_column`: lowercase,
+    ASCII-whitespace split, empties dropped.  Used by the tokenize UDF
+    kernel and the golden replays so train and apply normalize
+    identically."""
+    if text is None:
+        return []
+    return [w for w in _WS.split(text.lower()) if w]
+
 
 def words_column(text: str | Column) -> Column:
     """Lowercase whitespace words, empty tokens dropped — the shared
-    normalization for training and tokenization."""
+    normalization for training and tokenization (the Java ``\\s+`` split
+    here and the re.ASCII split in :func:`split_words` match character
+    class for character class)."""
     col = F.col(text) if isinstance(text, str) else text
     return F.array_remove(F.split(F.lower(F.trim(col)), r"\s+"), "")
 
 
 def word_frequencies(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame,
+    text_col: str = "text",
+    min_freq: int = 1,
+    max_vocab_rows: int | None = None,
 ) -> DataFrame:
     """(word, freq) over the corpus — one explode + one combinable
-    groupBy shuffle; the only distributed step of training."""
-    return (
+    groupBy shuffle; the only distributed step of training.
+
+    ``min_freq`` / ``max_vocab_rows`` bound the table BEFORE it reaches
+    the driver: Heaps' law keeps clean-text vocabularies small, but a
+    100 TB web crawl's "word" set (URLs, hex blobs, boilerplate noise)
+    can reach 10^8+ distinct strings.  The frequency filter is a
+    pushed-down post-aggregation predicate; the row cap is a
+    deterministic top-N by (freq desc, word asc) — TakeOrdered, no
+    global sort materialization.  Hapax noise is below ``min_freq=2``'s
+    bar by definition, and BPE merges need pair frequency >= 2 anyway,
+    so the caps change nothing on clean corpora."""
+    wf = (
         df.where(F.col(text_col).isNotNull())
         .select(F.explode(words_column(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    if min_freq > 1:
+        wf = wf.where(F.col("freq") >= min_freq)
+    if max_vocab_rows is not None:
+        wf = wf.orderBy(F.desc("freq"), F.asc("word")).limit(max_vocab_rows)
+    return wf
+
+
+def cap_word_counts(
+    counts: "dict[str, int]",
+    min_freq: int = 1,
+    max_vocab_rows: int | None = None,
+) -> "dict[str, int]":
+    """Pure-Python twin of the :func:`word_frequencies` bounds, so the
+    golden replay trains on the identical capped vocabulary."""
+    items = [(w, c) for w, c in counts.items() if c >= min_freq]
+    if max_vocab_rows is not None:
+        items.sort(key=lambda kv: (-kv[1], kv[0]))
+        items = items[:max_vocab_rows]
+    return dict(items)
 
 
 # ---------------------------------------------------------------------------
@@ -137,9 +189,8 @@ def tokenize_text(
     if text is None:
         return []
     out: list[str] = []
-    for w in text.lower().split():
-        if w:
-            out.extend(apply_bpe_word(w, ranks))
+    for w in split_words(text):
+        out.extend(apply_bpe_word(w, ranks))
     return out
 
 
@@ -178,13 +229,22 @@ def with_bpe_tokens(
 
 
 def train_bpe_on_corpus(
-    df: DataFrame, n_merges: int = 200, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    min_freq: int = 2,
+    max_vocab_rows: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Corpus front door: distributed word frequencies -> driver merge
-    loop.  The collect is the bounded distinct-word table, NOT the
-    corpus."""
+    loop.  The collect is the EXPLICITLY BOUNDED distinct-word table,
+    NOT the corpus: the frequency floor and the deterministic top-N cap
+    are pushed into the aggregate (see :func:`word_frequencies`), so the
+    driver never holds more than ``max_vocab_rows`` rows even when a
+    crawl-scale corpus's raw token set would blow Heaps' law."""
     counts = {
         r["word"]: r["freq"]
-        for r in word_frequencies(df, text_col).collect()
+        for r in word_frequencies(
+            df, text_col, min_freq=min_freq, max_vocab_rows=max_vocab_rows
+        ).collect()
     }
     return train_bpe(counts, n_merges)

@@ -765,13 +765,16 @@ def semantic_dedup_golden_sql(
     seed: int = 42,
     rows_per_cluster: int = 64,
     sample_rows: int = 10_000,
+    max_cluster_size: int | None = None,
 ) -> str:
     """Independent replay of the SemDeDup pass (similarity.
     semantic_dedup_drops): same n_clusters derivation + seeded
     md5-threshold training sample in id order, same shared k-means /
-    assignment kernels, dict-based within-cluster pairing with
-    fold-order-exact cosine, union-find components, min-id
-    representative kept — dropped ids as a VALUES relation."""
+    assignment kernels, same seeded-md5 salt split of clusters over
+    ``max_cluster_size`` (default 4*rows_per_cluster — the skew guard),
+    dict-based within-(sub-)cluster pairing with fold-order-exact
+    cosine, union-find components, min-id representative kept — dropped
+    ids as a VALUES relation."""
     import hashlib
 
     import duckdb
@@ -805,9 +808,30 @@ def semantic_dedup_golden_sql(
     cent = kmeans_fit(x, min(n_clusters, len(x)), iters=iters, seed=seed)
     mat = np.array([vecs[i] for i in ids], dtype=np.float64)
     order = nearest_lists(mat, cent, 1)
-    clusters: dict[int, list[int]] = {}
+    raw_clusters: dict[int, list[int]] = {}
     for row, vid in enumerate(ids):
-        clusters.setdefault(int(order[row, 0]), []).append(vid)
+        raw_clusters.setdefault(int(order[row, 0]), []).append(vid)
+    # the distributed side's skew guard, replayed bit-for-bit: clusters
+    # over the cap split into ceil(size/cap) salted sub-clusters
+    cap = (
+        max_cluster_size
+        if max_cluster_size is not None
+        else 4 * rows_per_cluster
+    )
+    clusters: dict[tuple[int, int], list[int]] = {}
+    for cid, members in raw_clusters.items():
+        nsub = -(-len(members) // cap)
+        for vid in members:
+            sub = (
+                int(
+                    hashlib.md5(
+                        f"sub\x1f{seed}\x1f{vid}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                % nsub
+            )
+            clusters.setdefault((cid, sub), []).append(vid)
 
     import math
 
@@ -857,23 +881,32 @@ def semantic_dedup_golden_sql(
     return _values_sql(rows, "vec_id")
 
 
-def bpe_golden_sql(sf_dir: str | None = None, n_merges: int = 200) -> str:
+def bpe_golden_sql(
+    sf_dir: str | None = None,
+    n_merges: int = 200,
+    min_freq: int = 2,
+    max_vocab_rows: int | None = 100_000,
+) -> str:
     """Independent sequential replay of BPE train + tokenize over the
     documents parquet: the SAME shared kernels (functions/bpe.py
-    train_bpe / tokenize_text) run single-process on duckdb-read text, so
-    the distributed word-count + broadcast-ranks UDF path must reproduce
-    every token stream byte-for-byte (compared via md5 of the joined
-    tokens)."""
-    from .functions.bpe import tokenize_text, train_bpe
+    split_words / cap_word_counts / train_bpe / tokenize_text) run
+    single-process on duckdb-read text, so the distributed word-count +
+    broadcast-ranks UDF path must reproduce every token stream
+    byte-for-byte (compared via md5 of the joined tokens).  The vocab
+    bounds mirror the distributed side's pushed-down collect caps."""
+    from .functions.bpe import (
+        cap_word_counts,
+        split_words,
+        tokenize_text,
+        train_bpe,
+    )
 
     docs = _documents(sf_dir or _oracle_sf_dir())
     counts: dict[str, int] = {}
     for _id, text in docs:
-        if text is None:
-            continue
-        for w in text.lower().split():
-            if w:
-                counts[w] = counts.get(w, 0) + 1
+        for w in split_words(text):
+            counts[w] = counts.get(w, 0) + 1
+    counts = cap_word_counts(counts, min_freq=min_freq, max_vocab_rows=max_vocab_rows)
     merges = train_bpe(counts, n_merges)
     ranks = {p: i for i, p in enumerate(merges)}
     rows = []

@@ -930,18 +930,69 @@ def winnowing_overlap_pairs(
     min_shared: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_block: int | None = 1000,
 ) -> DataFrame:
     """Pairs sharing >= ``min_shared`` winnowed fingerprints — the copy-
     detection candidate set.  Equi-join on the 16-hex-char fingerprint
-    (ids only in the join), map-side-combinable count."""
+    (ids only in the join), map-side-combinable count.
+
+    ``max_block`` (the web-scale guard, same discipline as
+    :func:`ngram_jaccard_pairs`): a boilerplate fingerprint shared by m
+    documents (license headers, navigation chrome) would otherwise make
+    an O(m^2) join block.  Fingerprints whose posting list exceeds the
+    cap are dropped from CANDIDATE BLOCKING only; every discovered pair
+    is re-verified against the FULL fingerprint lists, so ``shared_fps``
+    is always the TRUE shared count (hot fingerprints included).  The
+    only possible misses are pairs whose EVERY shared fingerprint is
+    hotter than the cap — pure boilerplate overlap, which copy detection
+    deliberately ignores.  An existence probe skips the two-phase plan
+    entirely when no fingerprint is hot (the common case), so the capped
+    plan IS the exact plan there.
+    """
     fps = winnow_fingerprints(
         df, k=k, window=window, id_col=id_col, text_col=text_col
     )
-    a = fps.select("fp", F.col("id").alias("id_a"))
-    b = fps.select("fp", F.col("id").alias("id_b"))
-    return (
-        a.join(b, "fp")
+
+    def direct(p: DataFrame) -> DataFrame:
+        a = p.select("fp", F.col("id").alias("id_a"))
+        b = p.select("fp", F.col("id").alias("id_b"))
+        return (
+            a.join(b, "fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
+            .where(F.col("shared_fps") >= min_shared)
+        )
+
+    if max_block is None:
+        return direct(fps)
+    # the fingerprint table feeds four branches (frequency probe,
+    # blocking, two verification sides): persist + populate eagerly, the
+    # production analog being a materialized fingerprint index
+    fps = fps.persist()
+    fps.count()
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    has_hot = len(freq.where(F.col("__df") > max_block).limit(1).take(1)) > 0
+    if not has_hot:
+        return direct(fps)
+    rare = fps.join(freq.where(F.col("__df") <= max_block), "fp").select(
+        "id", "fp"
+    )
+    cand = (
+        rare.select("fp", F.col("id").alias("id_a"))
+        .join(rare.select("fp", F.col("id").alias("id_b")), "fp")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact re-verification: TRUE shared-fingerprint count over the full
+    # lists, restricted to candidate ids (fans out by |fps(a)| per pair,
+    # not by block size)
+    pa = fps.select(F.col("id").alias("id_a"), "fp")
+    pb = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, ["id_b", "fp"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)

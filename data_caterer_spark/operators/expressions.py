@@ -85,7 +85,10 @@ COUNTRIES = [
 #: ``Provider.method`` -> list (vocabulary pick) or str (template expanded
 #: recursively).  Keys use datafaker's public names so reference YAML tasks
 #: parse unchanged.
-PROVIDERS: dict[str, "list[str] | str"] = {
+#: provider spec: a value list (categorical pick), a template string
+#: (recursive compile), or a callable seed->SQL (custom constructions
+#: like Internet.uuid)
+PROVIDERS: dict[str, "list[str] | str | Callable"] = {
     "Name.firstName": FIRST_NAMES,
     "Name.lastName": LAST_NAMES,
     "Name.name": "#{Name.firstName} #{Name.lastName}",
@@ -100,12 +103,70 @@ PROVIDERS: dict[str, "list[str] | str"] = {
     ),
     "Address.country": COUNTRIES,
     "Company.name": COMPANY_NAMES,
+    "Company.suffix": ["Inc", "LLC", "Group", "Ltd", "and Sons"],
+    "Company.industry": [
+        "Banking", "Insurance", "Retail", "Logistics",
+        "Telecommunications", "Health Care", "Utilities",
+    ],
     "Job.title": JOB_TITLES,
+    "Job.field": [
+        "Accounting", "Engineering", "Legal", "Marketing", "Medical",
+        "Education", "Construction",
+    ],
     "Country.name": COUNTRIES,
     "Internet.emailAddress": "#{Name.firstName}.#{Name.lastName}@example.com",
+    "Internet.domainWord": [
+        "acme", "globex", "initech", "umbrella", "hooli", "vandelay",
+        "wonka", "stark",
+    ],
+    "Internet.domainName": "#{Internet.domainWord}.com",
+    "Internet.url": "www.#{Internet.domainWord}.com",
+    # Internet.uuid is a callable spec (seeded hex construction below)
     "PhoneNumber.phoneNumber": "#{numerify '(###) ###-####'}",
     "PhoneNumber.cellPhone": "#{numerify '###-###-####'}",
+    "Demographic.sex": ["Male", "Female"],
+    "Demographic.maritalStatus": [
+        "Single", "Married", "Widowed", "Divorced",
+    ],
+    "Demographic.race": [
+        "White", "Black or African American", "Asian",
+        "American Indian or Alaska Native",
+        "Native Hawaiian or Other Pacific Islander",
+    ],
+    "Currency.code": ["USD", "EUR", "GBP", "JPY", "AUD", "CAD", "CHF"],
+    "Color.name": [
+        "red", "green", "blue", "yellow", "purple", "orange", "black",
+        "white",
+    ],
+    "Animal.name": [
+        "alligator", "bear", "cheetah", "dolphin", "eagle", "fox",
+        "giraffe", "horse",
+    ],
+    "File.extension": ["csv", "json", "parquet", "txt", "xml", "orc"],
 }
+
+
+def _uuid_sql(seed: "int | None") -> str:
+    """``Internet.uuid``: RFC-4122-v4-SHAPED uuid from one seeded hex
+    stream.  Seeded: every occurrence of RAND(seed) in a projection
+    draws the identical per-row value, so the five substrings slice ONE
+    consistent 32-hex digest; version nibble pinned to '4', variant
+    picked from [89ab].  Unseeded falls back to Spark's native UUID()."""
+    if seed is None:
+        return "UUID()"
+    h = f"MD5(CAST(RAND({seed}) AS STRING))"
+    variant = (
+        f"ELEMENT_AT(ARRAY('8','9','a','b'), "
+        f"(CAST(CONV(SUBSTR({h}, 17, 1), 16, 10) AS INT) % 4) + 1)"
+    )
+    return (
+        f"CONCAT(SUBSTR({h}, 1, 8), '-', SUBSTR({h}, 9, 4), '-4', "
+        f"SUBSTR({h}, 14, 3), '-', {variant}, SUBSTR({h}, 18, 3), '-', "
+        f"SUBSTR({h}, 21, 12))"
+    )
+
+
+PROVIDERS["Internet.uuid"] = _uuid_sql
 
 #: providers whose datafaker output is lowercase
 _LOWERCASE = {"Name.username", "Internet.emailAddress"}
@@ -220,6 +281,8 @@ def _resolve(body: str, seed: int | None, depth: int) -> str:
             f"{sorted(PROVIDERS)} + numerify/letterify/bothify/"
             "regexify/options.option"
         )
+    if callable(spec):
+        return spec(seed)
     if isinstance(spec, list):
         return _pick_sql(spec, seed)
     inner = expression_sql(spec, seed=seed, _depth=depth + 1)
@@ -277,6 +340,8 @@ def expression_vocabulary(expression: str) -> "set[str] | None":
             spec = PROVIDERS.get(body)
             if spec is None:
                 raise ValueError(f"unknown faker provider #{{{body}}}")
+            if callable(spec):
+                return None  # open-ended (e.g. uuid hex space)
             if isinstance(spec, list):
                 cross(set(spec))
             else:

@@ -58,8 +58,17 @@ class StepResult:
     duration_s: float = 0.0
 
 
-def field_summary(spec) -> dict:
-    """One generator-table row for a FieldSpec (kind + compact options)."""
+def _compact_value(v, width: int = 36) -> str:
+    s = repr(v) if isinstance(v, str) else str(v)
+    return s if len(s) <= width else s[: width - 1] + "…"
+
+
+def field_summary(spec, samples: "Sequence | None" = None) -> dict:
+    """One generator-table row for a FieldSpec (kind + compact options).
+
+    ``samples`` — a few ACTUAL generated values for the field
+    (ResultHtmlWriter's step pages render sampled data per field, not
+    just the spec); compacted into one display string."""
     if spec.static is not None:
         kind, opts = "static", repr(spec.static)
     elif spec.sql is not None:
@@ -96,6 +105,11 @@ def field_summary(spec) -> dict:
         "options": opts,
         "null_prob": spec.null_prob,
         "seed": spec.seed,
+        "sample_values": (
+            ""
+            if samples is None
+            else ", ".join(_compact_value(v) for v in samples)
+        ),
     }
 
 
@@ -111,7 +125,13 @@ def run_report_dict(
         "generated_at": time.strftime("%Y-%m-%d %H:%M:%S"),
         "overview": {
             "num_steps": len(steps),
-            "num_records": sum(s.num_records for s in steps),
+            # count-disabled steps carry the reference's -1 marker: sum
+            # only counted steps; all-disabled propagates the marker
+            "num_records": (
+                sum(s.num_records for s in steps if s.num_records >= 0)
+                if any(s.num_records >= 0 for s in steps)
+                else -1
+            ),
             "is_success": all(s.is_success for s in steps)
             and all(v.is_success for v in validations),
             "total_duration_s": round(
@@ -124,10 +144,13 @@ def run_report_dict(
                 "num_records": s.num_records,
                 "is_success": s.is_success,
                 "duration_s": s.duration_s,
-                # SparkRecordListener.scala:7-23 parity: per-step rows/sec
+                # SparkRecordListener.scala:7-23 parity: per-step rows/sec.
+                # num_records < 0 is the reference's count-disabled marker
+                # (RunFlags.enable_count=False) — suppress, don't render a
+                # negative rate
                 "rows_per_sec": (
                     round(s.num_records / s.duration_s, 1)
-                    if s.duration_s > 0
+                    if s.duration_s > 0 and s.num_records >= 0
                     else None
                 ),
                 "fields": list(s.fields),
@@ -243,10 +266,11 @@ def run_report_html(
             parts.append(
                 _html_table(
                     ["field", "type", "generator", "options", "null prob",
-                     "seed"],
+                     "seed", "sample values"],
                     [
                         [f["name"], f["type"], f["generator"], f["options"],
-                         f["null_prob"], "" if f["seed"] is None else f["seed"]]
+                         f["null_prob"], "" if f["seed"] is None else f["seed"],
+                         f.get("sample_values", "")]
                         for f in s["fields"]
                     ],
                 )

@@ -714,6 +714,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     rows_per_cluster: int = 64,
     sample_rows: int = 10_000,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs: cosine >= 1 - eps AND same k-means
     cluster — the SemDeDup recipe (Abbas et al. 2023, public): cluster the
@@ -728,6 +729,21 @@ def semantic_dedup_pairs(
     same shuffle discipline as :func:`ivf_knn_join`.  A near-dup pair
     split across a cluster boundary is missed by construction; that is
     the published algorithm's recall trade, not an implementation gap.
+
+    ``max_cluster_size`` (default ``4 * rows_per_cluster``) is the skew
+    guard: k-means on a pathological embedding distribution (e.g. a mass
+    of identical vectors) can leave one huge cluster, turning the
+    within-cluster join into an O(c^2) block and the downstream
+    per-cluster union-find into unbounded per-group state.  Clusters
+    over the cap are split into ``ceil(size / cap)`` deterministic
+    sub-clusters by a seeded md5 salt of the id (replayable in the
+    golden oracle), bounding every block at ~cap rows.  Pairs split
+    across a salt boundary are missed — the same recall trade the
+    cluster boundary already makes, and on a degenerate all-identical
+    cluster the practical effect is keeping one representative per
+    sub-cluster instead of one overall.  One tiny cluster-size aggregate
+    + a broadcast join; no effect at all on clusters within the cap
+    (ceil(size/cap) == 1 leaves the cluster key intact).
     """
     n_rows = df.count()
     if n_clusters is None:
@@ -750,6 +766,47 @@ def semantic_dedup_pairs(
         F.element_at("ivf_list", 1).alias("cluster"),
     ).persist()
     slim.count()
+    cap = (
+        max_cluster_size
+        if max_cluster_size is not None
+        else 4 * rows_per_cluster
+    )
+    # skew guard: split oversized clusters into ceil(size/cap) salted
+    # sub-clusters (seeded md5 of the id — bit-replayable in the golden
+    # oracle).  The size table is n_clusters rows -> broadcast.
+    sizes = slim.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("__csize")
+    )
+    n_sub = F.ceil(F.col("__csize") / F.lit(cap)).cast("long")
+    salt = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit("sub"),
+                        F.lit(str(seed)),
+                        F.col("id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        n_sub,
+    )
+    slim = (
+        slim.join(F.broadcast(sizes), "cluster")
+        .withColumn(
+            "cluster",
+            F.concat_ws(
+                "#", F.col("cluster").cast("string"), salt.cast("string")
+            ),
+        )
+        .select("cluster", "id")
+    )
     a = slim.select("cluster", F.col("id").alias("id_a"))
     b = slim.select("cluster", F.col("id").alias("id_b"))
     vecs = df.select(
@@ -828,6 +885,7 @@ def semantic_dedup_drops(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rows_per_cluster: int = 64,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Rows a SemDeDup pass would DROP: components over the
     within-cluster near-dup pairs (one-shuffle per-cluster union-find —
@@ -844,6 +902,7 @@ def semantic_dedup_drops(
         id_col=id_col,
         vec_col=vec_col,
         rows_per_cluster=rows_per_cluster,
+        max_cluster_size=max_cluster_size,
     )
     comps = per_cluster_components(pairs)
     return comps.where(F.col("id") != F.col("rep")).select(

@@ -232,8 +232,14 @@ def concat_pack(
         + cum_incl
         - F.col(size_col)
     )
+    # EXACT integer division (SQL `div`), not floor(a/b): long/long
+    # division in Spark SQL goes through double, whose 53-bit mantissa
+    # rounds once the cumulative size passes 2^53 — off-by-one bins that
+    # disagree with the exact long modulo beside them (and with the
+    # oracle's integer //) at the 10^12-turn scale this targets.
     return (
-        d.withColumn(bin_col, F.floor(cum_before / F.lit(budget)))
-        .withColumn(offset_col, cum_before % F.lit(budget))
-        .drop("__h", "__pid")
+        d.withColumn("__cumb", cum_before.cast("long"))
+        .withColumn(bin_col, F.expr(f"__cumb div {int(budget)}"))
+        .withColumn(offset_col, F.col("__cumb") % F.lit(budget))
+        .drop("__h", "__pid", "__cumb")
     )

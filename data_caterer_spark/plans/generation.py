@@ -116,14 +116,21 @@ class GenerationProcessor:
         spark: SparkSession,
         records_per_batch: int = 100_000,
         enable_count: bool = True,
+        enable_report_samples: bool = True,
     ):
         """``enable_count=False`` mirrors the reference's performance flag
         (``SinkFactory.scala:26-32`` — "Count is disabled. It will help
         with performance", record counts report -1): per-batch counts are
-        an extra action per step per batch, material on slow sinks."""
+        an extra action per step per batch, material on slow sinks.
+
+        ``enable_report_samples`` puts a few ACTUAL generated values per
+        field into the run report's generator tables (ResultHtmlWriter's
+        step pages show sampled data, not just the spec) — one bounded
+        ``limit(3)`` action per step over the already-pinned batch."""
         self.spark = spark
         self.records_per_batch = records_per_batch
         self.enable_count = enable_count
+        self.enable_report_samples = enable_report_samples
 
     def run(
         self,
@@ -254,13 +261,26 @@ class GenerationProcessor:
                 )
             from ..operators.report import field_summary
 
+            sample_rows: list = []
+            if self.enable_report_samples and name in accumulated:
+                # bounded: 3 rows off the pinned batch, never a full scan
+                sample_rows = accumulated[name].limit(3).collect()
+
+            def _samples(fname: str) -> "list | None":
+                if not sample_rows or fname not in sample_rows[0].__fields__:
+                    return None
+                return [r[fname] for r in sample_rows]
+
             results.append(
                 StepResult(
                     step=name,
                     num_records=stats["rows"],
                     is_success=True,
                     sinks=sinks,
-                    fields=[field_summary(f) for f in step.fields],
+                    fields=[
+                        field_summary(f, samples=_samples(f.name))
+                        for f in step.fields
+                    ],
                     duration_s=round(stats["wall"], 3),
                 )
             )

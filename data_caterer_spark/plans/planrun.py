@@ -102,6 +102,7 @@ class RunFlags:
     enable_validation: bool = True
     enable_count: bool = True
     enable_delete_generated_records: bool = False
+    enable_report_samples: bool = True
 
 
 @dataclass
@@ -413,6 +414,7 @@ def run_plan(
         spark,
         records_per_batch=records_per_batch,
         enable_count=flags.enable_count,
+        enable_report_samples=flags.enable_report_samples,
     )
     tables, step_results = processor.run(enabled, fk_tuples, plan.name)
     insert_order = (

@@ -1232,22 +1232,25 @@ def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_golden_oracle() -> str:
     from .golden import bpe_golden_sql
 
-    return bpe_golden_sql(n_merges=200)
+    return bpe_golden_sql(n_merges=200, min_freq=2, max_vocab_rows=100_000)
 
 
 @_q("bpe_token_counts", _bpe_golden_oracle)
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE tokenization (Sennrich 2016): merge rules learned from
     the corpus via ONE distributed word-frequency shuffle + a driver
-    merge loop over the bounded distinct-word table (the standard
-    decomposition — Heaps' law keeps that table tiny relative to the
-    corpus), then broadcast-ranks Arrow tokenization.  Oracle = the
-    sequential shared-kernel replay; token streams compared
-    byte-for-byte via md5."""
+    merge loop over the EXPLICITLY BOUNDED distinct-word table (freq
+    floor + deterministic top-N cap pushed into the aggregate — Heaps'
+    law keeps clean vocabularies tiny, but a crawl-scale token set is
+    not clean), then broadcast-ranks Arrow tokenization.  Oracle = the
+    sequential shared-kernel replay with the same caps; token streams
+    compared byte-for-byte via md5."""
     from .functions.bpe import train_bpe_on_corpus, with_bpe_tokens
 
     docs = _read(spark, sf_dir, "documents")
-    merges = train_bpe_on_corpus(docs, n_merges=200)
+    merges = train_bpe_on_corpus(
+        docs, n_merges=200, min_freq=2, max_vocab_rows=100_000
+    )
     out = with_bpe_tokens(
         _fan_out(docs), merges, tokens_col="__toks"
     )
@@ -2786,38 +2789,48 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver registration order
 # ===========================================================================
 
-#: queries with no driver-artifact CORRECTNESS row yet (the round-2 driver
-#: snapshot predates them, plus everything new this round).  Registered
-#: FIRST so a driver that caps the per-round query budget checks these
-#: before re-checking long-green entries; see COVERAGE.md for the rotation
-#: rationale.  This reorders only the registration dict — names, callables
-#: and oracles are untouched.
+#: queries whose driver-artifact CORRECTNESS row is OLDEST run first: the
+#: driver caps a round at 50 checks, so registration order rotates which
+#: rows get refreshed; see COVERAGE.md for the rotation rationale.  This
+#: reorders only the registration dict — names, callables and oracles are
+#: untouched.
 _DRIVER_PRIORITY = [
-    "jdbc_roundtrip_counts",
-    "generate_expression_fields",
-    "plan_run_end_to_end",
-    "kafka_frame_payloads",
-    "http_frame_requests",
-    "semantic_dedup_drops",
-    "temperature_mix_counts",
-    "repeated_span_removal",
-    "pretrain_packing_bins",
+    # round-4 rotation: the 25 queries whose last driver row is r02
+    # (rotated out of r03's 50-query cap) run FIRST, so every catalog
+    # query has a driver row at most two rounds old
+    "doc_quality_filter",
+    "transcript_quality_filter",
+    "generate_seeded_table",
+    "generate_regex_fields",
+    "generate_typed_invariants",
+    "generate_fk_consistent_tables",
+    "generation_processor_invariants",
+    "ngram_jaccard_dups",
+    "minhash_lsh_dups",
+    "simhash_dups",
+    "drop_exact_dups_count",
+    "embedding_topk",
+    "embedding_norms",
+    "embedding_neardup_exact",
+    "lsh_knn_embeddings",
+    "ivf_knn_embeddings",
+    "langid_documents",
+    "perplexity_documents",
+    "media_image_features",
+    "media_real_image_features",
+    "media_real_audio_features",
+    "media_resize_features",
+    "media_video_frame_stats",
+    "set_ops_orphan_keys",
+    "set_ops_shared_keys_count",
+    # round-3-fresh entries whose operators changed THIS round (bpe
+    # vocab caps, semdedup skew guard, winnowing cap, concat_pack exact
+    # div): re-check next so behavior changes get a fresh row too
     "bpe_token_counts",
+    "semantic_dedup_drops",
     "winnowing_overlap",
-    "streaming_quality_turns",
-    "streaming_window_metrics",
-    "sampling_split_integrity",
-    "stratified_sample_counts",
-    "decontamination_overlap",
-    "write_roundtrip_counts",
-    "conversation_keep_rollup",
-    "budget_prefix_packing",
-    "quantized_embedding_topk",
-    "events_sessionize",
-    "json_schema_ingest",
-    "wait_readiness_probes",
-    "neardup_clusters",
-    "neardup_drop_count",
+    "pretrain_packing_bins",
+    "plan_run_end_to_end",
 ]
 
 

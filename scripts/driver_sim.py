@@ -8,7 +8,9 @@ by name, ``sort_values`` across all columns, hash the values; when an
 ``oracle_sql()`` entry exists, run it in DuckDB over the same parquet
 views and compare rows / schema / value-hash.
 
-Usage: python scripts/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python scripts/driver_sim.py [sf_dir] [query ...]
+       (default sf_dir /root/testdata/sf0.01; with query names given,
+       checks only those)
 """
 
 from __future__ import annotations
@@ -63,6 +65,10 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+
+    only = set(sys.argv[2:])
+    if only:
+        queries = {n: q for n, q in queries.items() if n in only}
 
     results: dict[str, dict] = {}
     for name in sorted(queries):

@@ -42,6 +42,45 @@ def test_train_is_deterministic_and_early_stops():
     assert m1 == m2
 
 
+def test_vocab_collect_is_bounded(spark):
+    """The training collect must never exceed max_vocab_rows, and the
+    freq floor must drop hapax noise BEFORE the driver sees it — the
+    crawl-scale guard (a web corpus's raw token set defeats Heaps' law)."""
+    rows = [(i, f"common words here noise{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 53 distinct words; hapax floor removes the 50 noise{i} singletons
+    floored = B.word_frequencies(df, min_freq=2).collect()
+    assert {r["word"] for r in floored} == {"common", "words", "here"}
+    capped = B.word_frequencies(df, min_freq=1, max_vocab_rows=10).collect()
+    assert len(capped) == 10
+    # deterministic top-N: the three freq-50 words always survive the cap
+    assert {"common", "words", "here"} <= {r["word"] for r in capped}
+    # the pure-Python twin agrees (golden replay trains on the same set)
+    counts: dict[str, int] = {}
+    for _i, text in rows:
+        for w in B.split_words(text):
+            counts[w] = counts.get(w, 0) + 1
+    assert B.cap_word_counts(counts, min_freq=2) == {
+        r["word"]: r["freq"] for r in floored
+    }
+    assert B.cap_word_counts(counts, min_freq=1, max_vocab_rows=10) == {
+        r["word"]: r["freq"] for r in capped
+    }
+
+
+def test_normalization_matches_spark_split(spark):
+    """Train and apply must split identically: Java \\s is ASCII-only, so
+    the Python side must NOT split on Unicode whitespace (NBSP) — a bare
+    str.split() would (the round-3 mismatch)."""
+    nbsp_text = "alpha\u00a0beta gamma\tdelta\x0bepsilon"
+    df = spark.createDataFrame([(1, nbsp_text)], "doc_id long, text string")
+    spark_words = [
+        r["word"] for r in B.word_frequencies(df).orderBy("word").collect()
+    ]
+    assert sorted(B.split_words(nbsp_text)) == spark_words
+    assert "alpha\u00a0beta" in spark_words  # NBSP is NOT a separator
+
+
 def test_distributed_tokenization_matches_sequential(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
     merges = B.train_bpe_on_corpus(docs, n_merges=80)
@@ -59,4 +98,4 @@ def test_distributed_tokenization_matches_sequential(spark, sf_dir):
     for r in docs.select("doc_id", "text").collect():
         if r["text"]:
             joined = "".join(out[r["doc_id"]]).replace(B.END, " ").strip()
-            assert joined == " ".join(r["text"].lower().split())
+            assert joined == " ".join(B.split_words(r["text"]))

@@ -273,3 +273,68 @@ def test_winnowing_guarantee_on_planted_copy(spark):
         for r in D.winnowing_overlap_pairs(docs, min_shared=1).collect()
     }
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_winnowing_cap_on_equals_cap_off(spark, sf_dir):
+    """The shipped skew guard must not change results on clean data:
+    capped blocking + full-list verification == the uncapped join."""
+    table = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = {
+        (r["id_a"], r["id_b"], r["shared_fps"])
+        for r in D.winnowing_overlap_pairs(
+            table, min_shared=2, max_block=1000
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], r["shared_fps"])
+        for r in D.winnowing_overlap_pairs(
+            table, min_shared=2, max_block=None
+        ).collect()
+    }
+    assert capped == exact and len(exact) > 0
+
+
+def test_winnowing_hot_fingerprint_cap_bounds_block(spark):
+    """A boilerplate passage planted in m >> max_block docs: the hot
+    fingerprints must be dropped from candidate BLOCKING (bounding the
+    join block at max_block postings, not m) while the re-verification
+    still reports the TRUE shared count — hot fingerprints included —
+    for every pair that also shares a rare fingerprint."""
+    boiler = (
+        "this site uses cookies to improve your browsing experience "
+        "please accept our terms"
+    )  # 13 tokens >> k+window-1: every doc shares its fingerprints
+    rows = [(i, f"{boiler} unique{i} filler{i} tail{i}") for i in range(30)]
+    copied = "the actual copied passage spans nine whole tokens here"
+    rows += [(1000, f"{boiler} {copied} ending alpha"),
+             (1001, f"{boiler} {copied} ending beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in D.winnowing_overlap_pairs(
+            df, min_shared=1, max_block=None
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in D.winnowing_overlap_pairs(
+            df, min_shared=1, max_block=10
+        ).collect()
+    }
+    # the hot path engaged: boilerplate-only pairs (every fingerprint
+    # hotter than the cap) are dropped — that's the bounded-blocking
+    # trade, and it's what keeps the block O(max_block^2) not O(m^2)
+    assert (0, 1) in exact and (0, 1) not in capped
+    # the true-copy pair survives with its EXACT shared count, hot
+    # fingerprints included (verification runs over full lists)
+    assert capped[(1000, 1001)] == exact[(1000, 1001)]
+    # the blocking layer itself is bounded: no surviving fingerprint
+    # posting list exceeds the cap
+    from pyspark.sql import functions as _F
+
+    fps = D.winnow_fingerprints(df, k=4, window=5)
+    freq = fps.groupBy("fp").agg(_F.count(_F.lit(1)).alias("df"))
+    rare_max = (
+        freq.where(_F.col("df") <= 10).agg(_F.max("df")).first()[0]
+    )
+    assert rare_max is not None and rare_max <= 10

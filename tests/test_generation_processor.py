@@ -84,6 +84,11 @@ def test_processor_batches_fk_unique_and_report(spark, tmp_path):
     assert by_step["orders"].num_records == 800
     assert by_step["customers"].sinks[0].format == "parquet"
     assert by_step["customers"].sinks[0].count == customers.count()
+    # generator tables carry ACTUAL sampled values per field
+    cust_fields = {f["name"]: f for f in by_step["customers"].fields}
+    assert cust_fields["tier"]["sample_values"], cust_fields
+    for v in cust_fields["tier"]["sample_values"].split(", "):
+        assert v.strip("'") in ("gold", "silver")
 
 
 def test_batches_do_not_repeat_seeded_rows(spark):

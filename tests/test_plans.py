@@ -168,6 +168,24 @@ def test_new_dedup_ops_have_no_cross_joins(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_winnowing_capped_path_has_no_cross_joins(spark):
+    """Both winnowing plans (direct and hot-fingerprint two-phase) must be
+    pure equi-joins on the fingerprint / id keys."""
+    from data_caterer_spark.operators.dedup import winnowing_overlap_pairs
+
+    boiler = "shared boilerplate sentence with many many tokens inside it"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} tail{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    # max_block=1 forces the hot path (every boilerplate fp has df=20);
+    # max_block=None is the direct plan
+    for mb in (None, 1):
+        plan = _plan(winnowing_overlap_pairs(docs, min_shared=1, max_block=mb))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_fk_assignment_large_keyset_not_broadcast(spark):
     """Above the key-count threshold the ordinal join must NOT carry a
     broadcast hint: millions of composite keys would OOM the driver; the

@@ -164,6 +164,55 @@ def test_semantic_dedup_drops_planted_duplicates(emb, spark):
     assert drops == planted, (sorted(drops)[:5], sorted(planted)[:5])
 
 
+def test_semantic_dedup_degenerate_cluster_is_bounded(spark):
+    """The skew guard: a degenerate embedding distribution (600 identical
+    vectors — k-means CANNOT split them geometrically) must not produce
+    one O(c^2) join block / unbounded union-find group.  The oversized
+    cluster is salt-split into ceil(size/cap) sub-clusters, bounding
+    every block near the cap; the pass still drops all but one
+    representative PER SUB-CLUSTER."""
+    n, dim = 600, 8
+    rows = [(i, [1.0] + [0.0] * (dim - 1), "dup") for i in range(n)]
+    # mutually orthogonal one-hots: cos 0 with everything, never dropped
+    rows += [
+        (1000 + j, [0.0] * (j + 1) + [1.0] + [0.0] * (dim - j - 2), "uniq")
+        for j in range(dim - 1)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    cap = 64
+    pairs = S.semantic_dedup_pairs(
+        df, dim, eps=0.05, rows_per_cluster=16, max_cluster_size=cap
+    )
+    per_block = {
+        r["cluster"]: r["cnt"]
+        for r in pairs.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # the degenerate cluster split into multiple salted sub-blocks …
+    dup_blocks = [c for c in per_block if len(per_block) > 1]
+    assert len(dup_blocks) > 1
+    # … and no block approaches the uncapped C(600,2)=179700; salting is
+    # statistical, so allow 2x the expected per-sub block
+    expected_sub = -(-n // cap)  # 10 sub-clusters, ~60 rows each
+    per_sub_bound = (2 * n // expected_sub) * (2 * n // expected_sub - 1) // 2
+    assert max(per_block.values()) <= per_sub_bound, per_block
+    total_pairs = sum(per_block.values())
+    assert total_pairs < n * (n - 1) // 4  # far below the quadratic block
+    # semantics: one representative kept per sub-cluster, everything else
+    # drops; unrelated vectors never drop
+    drops = {
+        r["vec_id"]
+        for r in S.semantic_dedup_drops(
+            df, dim, eps=0.05, rows_per_cluster=16, max_cluster_size=cap
+        ).collect()
+    }
+    assert drops <= set(range(n))
+    assert len(drops) >= n - 2 * expected_sub
+
+
 def test_multiprobe_improves_recall(emb):
     dim = len(emb.first()["embedding"])
     sample = emb.limit(200)

@@ -187,3 +187,30 @@ def test_concat_pack_bins_and_invariance(spark, sf_dir):
     # the window must be keyed (per range partition), never a global
     # single-partition sort: no Exchange SinglePartition anywhere
     assert "SinglePartition" not in plan
+
+
+def test_concat_pack_exact_past_double_mantissa(spark):
+    """bin must come from EXACT integer division: once the cumulative
+    size passes 2^53 a double-typed floor(a/b) rounds (off-by-one bins
+    inconsistent with the exact long offset beside them).  Verified
+    against a pure-Python exact replay of the same md5 stream order."""
+    import hashlib
+
+    from data_caterer_spark.operators.windows import concat_pack
+
+    budget = 4
+    sizes = {1: (1 << 53) + 3, 2: 1, 3: 2, 4: (1 << 52) + 1, 5: 3}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sizes.items()], "doc_id long, sz long"
+    )
+    got = {
+        r["doc_id"]: (r["bin"], r["bin_offset"])
+        for r in concat_pack(df, budget=budget, size_col="sz").collect()
+    }
+    order = sorted(
+        sizes, key=lambda i: (hashlib.md5(f"42\x1f{i}".encode()).hexdigest(), i)
+    )
+    cum = 0
+    for doc in order:
+        assert got[doc] == (cum // budget, cum % budget), doc
+        cum += sizes[doc]

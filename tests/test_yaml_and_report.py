@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -142,6 +143,52 @@ def test_run_report_full_surface(spark, tmp_path):
     assert "generate_accounts" in md and "1500 records" in md
 
 
+def test_run_report_count_disabled_marker():
+    """RunFlags(enable_count=False) steps carry the reference's -1
+    num_records marker: rows/sec must be suppressed (not rendered as a
+    negative rate) and the overview total must sum only counted steps."""
+    from data_caterer_spark.operators.report import StepResult, run_report_dict
+
+    steps = [
+        StepResult(
+            step="uncounted", num_records=-1, is_success=True, duration_s=2.0
+        ),
+        StepResult(
+            step="counted", num_records=100, is_success=True, duration_s=2.0
+        ),
+    ]
+    d = run_report_dict("p", steps)
+    assert d["steps"][0]["rows_per_sec"] is None
+    assert d["steps"][1]["rows_per_sec"] == 50.0
+    assert d["overview"]["num_records"] == 100
+    all_off = run_report_dict(
+        "p", [StepResult(step="u", num_records=-1, is_success=True)]
+    )
+    assert all_off["overview"]["num_records"] == -1
+
+
+def test_resolve_checkpoint_dir_cluster_safety(tmp_path):
+    """Only local masters may default a driver-local checkpoint dir: on a
+    cluster master an unshared local path silently loses checkpoint data
+    mid-job, so the resolver must return None (keeping the visible
+    localCheckpoint fallback) and warn."""
+    import warnings
+
+    from data_caterer_spark.config import resolve_checkpoint_dir
+
+    assert resolve_checkpoint_dir("local[4]", str(tmp_path)) == str(tmp_path)
+    assert resolve_checkpoint_dir(
+        "spark://host:7077", str(tmp_path)
+    ) == str(tmp_path)
+    got = resolve_checkpoint_dir("local[*]", None)
+    assert got is not None and os.path.isdir(got)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert resolve_checkpoint_dir("spark://host:7077", None) is None
+        assert resolve_checkpoint_dir("yarn", None) is None
+        assert len(w) == 2 and "durable shared storage" in str(w[0].message)
+
+
 def test_run_report_html_golden(tmp_path):
     """Golden-file pin of the full HTML report surface (ResultHtmlWriter
     parity: generator tables, duration breakdown, validations with sample
@@ -167,13 +214,18 @@ def test_run_report_html_golden(tmp_path):
                   element=FieldSpec("flags_elem", type="string")),
         FieldSpec("derived", sql="year - 2000"),
     ]
+    sampled = {
+        "account_id": ["ACC1000000001", "ACC1482915307", "ACC1937154221"],
+        "name": ["Jo Smith", "Ana Ruiz", "Kim Lee"],
+        "year": [2021, 2022, 2021],
+    }
     steps = [
         StepResult(
             step="file_account",
             num_records=200,
             is_success=True,
             duration_s=1.25,
-            fields=[field_summary(f) for f in fields],
+            fields=[field_summary(f, samples=sampled.get(f.name)) for f in fields],
             sinks=[
                 SinkResult(
                     name="file_account_sink", format="json",
@@ -211,6 +263,9 @@ def test_run_report_html_golden(tmp_path):
         "<h2>Generators</h2>", "ACC1[0-9]{9}", "#{Name.name}",
         "<h2>Durations</h2>", "<h2>Sample errors</h2>", "ACC1000000007",
         "gold, silver", "year - 2000",
+        # per-field SAMPLED VALUES (ResultHtmlWriter step pages show
+        # generated data, not just the spec)
+        "sample values", "ACC1482915307", "2021, 2022, 2021",
     ):
         assert needle in html, needle
 
