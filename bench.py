@@ -54,6 +54,8 @@ HEADLINE = [
     "repeated_span_removal",    # boilerplate span cut + text reassembly
     "pretrain_packing_bins",    # concat-and-chunk context packing
     "temperature_mix_counts",   # n^alpha training-mix sampling
+    "dsir_selected_docs",       # DSIR importance resampling (2 model fits
+                                # + broadcast-ratio scoring + top-k)
 ]
 
 

@@ -918,3 +918,54 @@ def bpe_golden_sql(
             f"'{digest}')"
         )
     return _values_sql(rows, "doc_id, n_bpe_tokens, tokens_md5")
+
+
+def dsir_golden_sql(
+    sf_dir: str | None = None,
+    n_buckets: int = 8192,
+    k: "int | None" = None,
+    target_lang: str = "en",
+) -> str:
+    """Independent sequential replay of DSIR importance weighting
+    (operators/selection.py): same ngram/bucket/fixed-ratio kernels run
+    single-process over duckdb-read text — the distributed
+    explode->broadcast-join->int64-sum path must reproduce every
+    fixed-point weight exactly.  ``k`` selects the deterministic top-k
+    (weight desc, doc_id asc); None emits all docs."""
+    import duckdb
+
+    from .operators.selection import (
+        FIXED_SCALE,
+        bucket_of,
+        fixed_log_ratios,
+        ngram_strings,
+        score_rows_python,
+    )
+
+    sf = sf_dir or _oracle_sf_dir()
+    recs = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM "
+        f"read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+    def counts(rows_) -> dict[int, int]:
+        out: dict[int, int] = {}
+        for _i, text in rows_:
+            for g in ngram_strings(text):
+                b = bucket_of(g, n_buckets)
+                out[b] = out.get(b, 0) + 1
+        return out
+
+    target = [(d, t) for d, t, lang in recs if lang == target_lang]
+    raw = [(d, t) for d, t, _lang in recs]
+    ratios = fixed_log_ratios(counts(target), counts(raw), n_buckets)
+    weights = score_rows_python(raw, ratios, n_buckets)
+    items = sorted(weights.items())
+    if k is not None:
+        items = sorted(items, key=lambda kv: (-kv[1], kv[0]))[:k]
+    rows = [
+        f"(CAST({d} AS BIGINT), CAST({w} AS BIGINT), "
+        f"CAST('{_spark_round(w / FIXED_SCALE, 6)!r}' AS DOUBLE))"
+        for d, w in items
+    ]
+    return _values_sql(rows, "doc_id, log_weight_fixed, log_weight")

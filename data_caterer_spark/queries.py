@@ -2198,6 +2198,50 @@ def temperature_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def _dsir_weights_oracle() -> str:
+    from .golden import dsir_golden_sql
+
+    return dsir_golden_sql(n_buckets=8192, k=None)
+
+
+@_q("dsir_log_weights", _dsir_weights_oracle)
+def dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023): every raw document
+    scored by the log-likelihood ratio of two hashed uni+bigram models —
+    target = en documents, raw = the whole corpus.  Distributed shape:
+    the two models are ONE combinable bucket-count shuffle each (bounded
+    by n_buckets, never the corpus), scoring is explode -> broadcast
+    ratio join -> int64 fixed-point sum (order-independent, hence exact).
+    Oracle: sequential shared-kernel replay."""
+    from .operators import selection as SEL
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    t_counts = SEL.bucket_counts(target, n_buckets=8192)
+    r_counts = SEL.bucket_counts(docs, n_buckets=8192)
+    ratios = SEL.fixed_log_ratios(t_counts, r_counts, 8192)
+    return SEL.dsir_log_weights(docs, ratios, n_buckets=8192)
+
+
+def _dsir_select_oracle() -> str:
+    from .golden import dsir_golden_sql
+
+    return dsir_golden_sql(n_buckets=8192, k=50)
+
+
+@_q("dsir_selected_docs", _dsir_select_oracle)
+def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: deterministic top-50 raw documents by importance
+    weight (weight desc, doc_id asc) — TakeOrderedAndProject, no global
+    sort.  The quality-targeted axis of training-mix construction beside
+    the temperature mix's language axis."""
+    from .operators import selection as SEL
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return SEL.dsir_select(docs, target, k=50, n_buckets=8192)
+
+
 def _stratified_sql() -> str:
     from .operators.sampling import fraction_threshold
 
@@ -2795,6 +2839,9 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: reorders only the registration dict — names, callables and oracles are
 #: untouched.
 _DRIVER_PRIORITY = [
+    # never driver-checked (new this round)
+    "dsir_log_weights",
+    "dsir_selected_docs",
     # round-4 rotation: the 25 queries whose last driver row is r02
     # (rotated out of r03's 50-query cap) run FIRST, so every catalog
     # query has a driver row at most two rounds old

@@ -1,0 +1,132 @@
+"""DSIR importance-resampling tests: planted-target semantics, exact
+fixed-point parity with the sequential kernel, partitioning invariance,
+and the broadcast-join plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_caterer_spark.operators import selection as S
+
+TARGET_ROWS = [
+    (1, "spark pipelines shuffle data across executors"),
+    (2, "spark executors run pipelines over partitioned data"),
+    (3, "shuffle partitions move data between spark executors"),
+    (4, "spark data pipelines repartition shuffle output across executors"),
+]
+RAW_ROWS = TARGET_ROWS + [
+    (10, "spark pipelines shuffle data between executors nightly"),  # target-like
+    (11, "the cat sat on the mat watching birds outside"),
+    (12, "recipe for sourdough bread with rye flour and honey"),
+    (13, None),
+    (14, ""),
+    (20, "gardening tips for roses tulips and seasonal bulbs"),
+    (21, "match report the home team scored twice before halftime"),
+    (22, "stock markets closed higher after the earnings reports"),
+    (23, "travel guide to coastal villages and mountain trails"),
+    (24, "movie review a slow first act but a strong finish"),
+]
+
+N_BUCKETS = 256
+
+
+def _dfs(spark):
+    raw = spark.createDataFrame(RAW_ROWS, "doc_id long, text string")
+    target = spark.createDataFrame(TARGET_ROWS, "doc_id long, text string")
+    return raw, target
+
+
+def test_target_like_docs_outrank_off_target(spark):
+    raw, target = _dfs(spark)
+    rows = S.dsir_select(raw, target, k=7, n_buckets=N_BUCKETS).collect()
+    picked = [r["doc_id"] for r in rows]
+    # the unseen target-like doc is selected; every off-target doc is not
+    # (empty/null docs score a neutral 0 — above off-target, below target)
+    assert 10 in picked, picked
+    assert not {11, 12, 20, 21, 22, 23, 24} & set(picked), picked
+    w = {r["doc_id"]: r["log_weight_fixed"] for r in rows}
+    assert all(w[t] > w[10] for t in (1, 2, 3, 4))  # in-target docs rank top
+
+
+def test_weights_match_sequential_kernel_exactly(spark):
+    """The distributed int64 sum must equal the pure-Python replay
+    bit-for-bit (fixed-point arithmetic is order-independent)."""
+    raw, target = _dfs(spark)
+    t = S.bucket_counts(target, n_buckets=N_BUCKETS)
+    r = S.bucket_counts(raw, n_buckets=N_BUCKETS)
+    ratios = S.fixed_log_ratios(t, r, N_BUCKETS)
+    got = {
+        row["doc_id"]: row["log_weight_fixed"]
+        for row in S.dsir_log_weights(raw, ratios, n_buckets=N_BUCKETS).collect()
+    }
+    want = S.score_rows_python(RAW_ROWS, ratios, N_BUCKETS)
+    assert got == want
+    # and the model fit itself matches the sequential count
+    seq: dict[int, int] = {}
+    for _i, text in RAW_ROWS:
+        for g in S.ngram_strings(text):
+            b = S.bucket_of(g, N_BUCKETS)
+            seq[b] = seq.get(b, 0) + 1
+    assert r == seq
+
+
+def test_weights_invariant_under_partitioning(spark):
+    raw, target = _dfs(spark)
+    t = S.bucket_counts(target, n_buckets=N_BUCKETS)
+    r = S.bucket_counts(raw, n_buckets=N_BUCKETS)
+    ratios = S.fixed_log_ratios(t, r, N_BUCKETS)
+    a = {
+        row["doc_id"]: row["log_weight_fixed"]
+        for row in S.dsir_log_weights(raw, ratios, n_buckets=N_BUCKETS).collect()
+    }
+    b = {
+        row["doc_id"]: row["log_weight_fixed"]
+        for row in S.dsir_log_weights(
+            raw.repartition(7), ratios, n_buckets=N_BUCKETS
+        ).collect()
+    }
+    assert a == b
+
+
+def test_gumbel_variant_is_seeded_and_deterministic(spark):
+    raw, target = _dfs(spark)
+    pick = lambda seed: [  # noqa: E731
+        r["doc_id"]
+        for r in S.dsir_select(raw, target, k=3, n_buckets=N_BUCKETS, seed=seed).collect()
+    ]
+    assert pick(7) == pick(7)  # same seed -> same draw
+    assert pick(7) == [
+        r["doc_id"]
+        for r in S.dsir_select(
+            raw.repartition(5), target, k=3, n_buckets=N_BUCKETS, seed=7
+        ).collect()
+    ]  # cluster-layout invariant
+
+
+def test_plan_broadcasts_ratio_table_no_cross_join(spark):
+    raw, target = _dfs(spark)
+    t = S.bucket_counts(target, n_buckets=N_BUCKETS)
+    r = S.bucket_counts(raw, n_buckets=N_BUCKETS)
+    ratios = S.fixed_log_ratios(t, r, N_BUCKETS)
+    plan = (
+        S.dsir_log_weights(raw, ratios, n_buckets=N_BUCKETS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_empty_and_null_text_score_zero(spark):
+    raw, target = _dfs(spark)
+    t = S.bucket_counts(target, n_buckets=N_BUCKETS)
+    r = S.bucket_counts(raw, n_buckets=N_BUCKETS)
+    ratios = S.fixed_log_ratios(t, r, N_BUCKETS)
+    w = {
+        row["doc_id"]: row["log_weight_fixed"]
+        for row in S.dsir_log_weights(raw, ratios, n_buckets=N_BUCKETS).collect()
+    }
+    assert w[13] == 0 and w[14] == 0  # null/empty text: weight 0, row kept
+    assert len(w) == len(RAW_ROWS)
