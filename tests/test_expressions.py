@@ -163,3 +163,41 @@ def test_new_provider_breadth_compiles(spark):
         assert all(r[k] in vocab for r in rows), k
     assert all(r["dom"].endswith(".com") for r in rows)
     assert all(r["url"].startswith("www.") for r in rows)
+
+
+def test_reference_sample_expressions_all_compile():
+    """Every ``#{...}`` faker expression appearing in the reference's
+    bundled sample resources compiles to SQL.
+
+    The hard-coded set is the exhaustive scan of
+    ``app/src/test/resources/sample/`` (json-account-task.yaml uses
+    ``#{Name.name}`` / ``#{Name.username}``; docs/test fixtures add
+    ``#{Address.city}`` / ``#{Company.name}``); when the reference
+    checkout is present the set is re-scanned live so drift in the
+    samples fails here rather than silently shrinking coverage."""
+    import os
+    import re
+
+    known = {
+        "#{Name.name}",
+        "#{Name.username}",
+        "#{Address.city}",
+        "#{Company.name}",
+    }
+    ref = "/root/reference"
+    found = set()
+    if os.path.isdir(ref):
+        pat = re.compile(r"#\{[A-Za-z]+\.[A-Za-z_]+(?: '[^']*')?\}")
+        for root, _dirs, files in os.walk(ref):
+            for fn in files:
+                if not fn.endswith((".yaml", ".yml", ".json", ".scala")):
+                    continue
+                try:
+                    with open(os.path.join(root, fn), errors="ignore") as f:
+                        found |= set(pat.findall(f.read()))
+                except OSError:
+                    continue
+        assert known <= found, found
+    for expr in sorted(known | found):
+        sql = X.expression_sql(expr, seed=7)
+        assert sql and "ELEMENT_AT" in sql.upper() or "CONCAT" in sql.upper()
