@@ -52,6 +52,19 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
 
 
+def cosine_given_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine where the L2 norms were PRECOMPUTED per row.
+
+    In a pair-scoring join each id's vector appears in many candidate
+    pairs; folding its norm per PAIR re-runs an interpreted array
+    traversal ~candidates-per-row times.  Computing ``l2_norm`` once per
+    id in the slim vector projection (2 traversals per ROW) and passing
+    it through the join leaves one ``dot`` fold per pair — same
+    left-to-right folds, so scores stay bit-identical to the sequential
+    golden replays (``golden.fold_dot``/``fold_norm``)."""
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
+
+
 def normalize(a: Column) -> Column:
     """Unit-normalize so cosine becomes a plain dot product downstream."""
     n = l2_norm(a)
@@ -100,18 +113,23 @@ def brute_force_knn_join(
     a = left.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("__va"),
-    )
+    ).withColumn("__na", l2_norm(F.col("__va")))
     b = right.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).cast("array<double>").alias("__vb"),
-    )
+    ).withColumn("__nb", l2_norm(F.col("__vb")))
     pairs = (
         a.crossJoin(b)
         .where(F.col("id_a") != F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_given_norms(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim").isNotNull())
     )
@@ -309,24 +327,37 @@ def lsh_knn_join(
     vecs = left.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    )
+    ).withColumn("__n", l2_norm(F.col("__v")))
     cand = (
         a.join(b, ["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
         .join(
-            vecs.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")),
+            vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
             "id_a",
         )
         .join(
-            vecs.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb")),
+            vecs.select(
+                F.col("id").alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
             "id_b",
         )
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_given_norms(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim").isNotNull())
     )
@@ -601,24 +632,37 @@ def ivf_knn_join(
     vecs = left.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    )
+    ).withColumn("__n", l2_norm(F.col("__v")))
     cand = (
         a.join(b, "list")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
         .join(
-            vecs.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")),
+            vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
             "id_a",
         )
         .join(
-            vecs.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb")),
+            vecs.select(
+                F.col("id").alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
             "id_b",
         )
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_given_norms(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim").isNotNull())
     )
@@ -812,25 +856,38 @@ def semantic_dedup_pairs(
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    )
+    ).withColumn("__n", l2_norm(F.col("__v")))
     thr = 1.0 - eps
     return (
         a.join(b, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
         .select("cluster", "id_a", "id_b")
         .join(
-            vecs.select(F.col("id").alias("id_a"), F.col("__v").alias("__va")),
+            vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
             "id_a",
         )
         .join(
-            vecs.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb")),
+            vecs.select(
+                F.col("id").alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
             "id_b",
         )
         .select(
             "cluster",
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_given_norms(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= thr)
     )

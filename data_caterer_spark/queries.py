@@ -1017,12 +1017,24 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs on a bounded slice (the
     LSH-accelerated variant is the rows-only `lsh_knn_embeddings`)."""
     df = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
-    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("__va"))
-    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("__vb"))
+    a = df.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("__va"),
+    ).withColumn("__na", SIM.l2_norm(F.col("__va")))
+    b = df.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("__vb"),
+    ).withColumn("__nb", SIM.l2_norm(F.col("__vb")))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", SIM.cosine(F.col("__va"), F.col("__vb")).alias("__cos"))
+        .select(
+            "id_a",
+            "id_b",
+            SIM.cosine_given_norms(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            ).alias("__cos"),
+        )
         .where(F.col("__cos") >= 0.9)
         .select("id_a", "id_b", F.round("__cos", 6).alias("cos_sim"))
     )
