@@ -188,6 +188,42 @@ def bucket_counts(
     return {int(r["bucket"]): int(r["n"]) for r in rows}
 
 
+def bucket_counts_with_target(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    id_col: str = "doc_id",
+    include_bigrams: bool = True,
+) -> "tuple[dict[int, int], dict[int, int]]":
+    """Fit the TARGET and RAW hashed models in ONE corpus scan.
+
+    DSIR's target corpus is usually a predicate over the raw corpus (the
+    'en' slice, a quality stratum) — fitting the two models with separate
+    ``bucket_counts`` calls scans the whole table twice.  Carrying a 0/1
+    target flag through the explode lets one combinable groupBy emit both
+    counts: at 100 TB the model fit halves its I/O.  Returns
+    ``(target_counts, raw_counts)`` identical to two separate fits."""
+    flagged = df.where(F.col(text_col).isNotNull()).select(
+        target.cast("long").alias("__t"),
+        F.explode(ngram_column(text_col, include_bigrams)).alias("__g"),
+    )
+    rows = (
+        flagged.select(
+            "__t", bucket_column(F.col("__g"), n_buckets).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum("__t").alias("n_target"),
+        )
+        .collect()
+    )
+    t = {int(r["bucket"]): int(r["n_target"]) for r in rows if r["n_target"]}
+    raw = {int(r["bucket"]): int(r["n_raw"]) for r in rows}
+    return t, raw
+
+
 def dsir_log_weights(
     df: DataFrame,
     ratios: "dict[int, int]",
@@ -227,25 +263,36 @@ def dsir_log_weights(
 
 def dsir_select(
     raw_df: DataFrame,
-    target_df: DataFrame,
+    target_df: "DataFrame | None",
     k: int,
     n_buckets: int = 10_000,
     id_col: str = "doc_id",
     text_col: str = "text",
     include_bigrams: bool = True,
     seed: "int | None" = None,
+    target_filter: "Column | None" = None,
 ) -> DataFrame:
     """Select ``k`` raw documents whose n-gram profile best matches the
     target corpus.  ``seed=None`` -> deterministic top-k by weight (ties
     by id); seeded -> Gumbel-top-k (the paper's sampled variant; noise is
     md5-derived, so the draw replays on any cluster).  Top-k compiles to
-    TakeOrderedAndProject — no global sort."""
-    t_counts = bucket_counts(
-        target_df, text_col, n_buckets, id_col, include_bigrams
-    )
-    r_counts = bucket_counts(
-        raw_df, text_col, n_buckets, id_col, include_bigrams
-    )
+    TakeOrderedAndProject — no global sort.
+
+    When the target corpus is a PREDICATE over the raw corpus, pass it as
+    ``target_filter`` (and ``target_df=None``): both models then fit in
+    one scan (:func:`bucket_counts_with_target`) instead of two."""
+    if target_filter is not None:
+        t_counts, r_counts = bucket_counts_with_target(
+            raw_df, target_filter, text_col, n_buckets, id_col,
+            include_bigrams,
+        )
+    else:
+        t_counts = bucket_counts(
+            target_df, text_col, n_buckets, id_col, include_bigrams
+        )
+        r_counts = bucket_counts(
+            raw_df, text_col, n_buckets, id_col, include_bigrams
+        )
     ratios = fixed_log_ratios(t_counts, r_counts, n_buckets)
     w = dsir_log_weights(
         raw_df, ratios, n_buckets, id_col, text_col, include_bigrams

@@ -2228,9 +2228,9 @@ def dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import selection as SEL
 
     docs = _read(spark, sf_dir, "documents")
-    target = docs.where(F.col("lang") == "en")
-    t_counts = SEL.bucket_counts(target, n_buckets=8192)
-    r_counts = SEL.bucket_counts(docs, n_buckets=8192)
+    t_counts, r_counts = SEL.bucket_counts_with_target(
+        docs, F.col("lang") == "en", n_buckets=8192
+    )
     ratios = SEL.fixed_log_ratios(t_counts, r_counts, 8192)
     return SEL.dsir_log_weights(docs, ratios, n_buckets=8192)
 
@@ -2250,8 +2250,10 @@ def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import selection as SEL
 
     docs = _read(spark, sf_dir, "documents")
-    target = docs.where(F.col("lang") == "en")
-    return SEL.dsir_select(docs, target, k=50, n_buckets=8192)
+    return SEL.dsir_select(
+        docs, None, k=50, n_buckets=8192,
+        target_filter=F.col("lang") == "en",
+    )
 
 
 def _stratified_sql() -> str:

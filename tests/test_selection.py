@@ -130,3 +130,30 @@ def test_empty_and_null_text_score_zero(spark):
     }
     assert w[13] == 0 and w[14] == 0  # null/empty text: weight 0, row kept
     assert len(w) == len(RAW_ROWS)
+
+
+def test_one_scan_pair_fit_matches_two_scans(spark):
+    """bucket_counts_with_target (one flagged scan) must emit counts
+    identical to two separate bucket_counts fits, and dsir_select via
+    target_filter must select the same documents."""
+    raw, _target = _dfs(spark)
+    # target = the ids <= 4 slice of RAW (a predicate over the raw corpus)
+    pred = F.col("doc_id") <= 4
+    t1 = S.bucket_counts(raw.where(pred), n_buckets=N_BUCKETS)
+    r1 = S.bucket_counts(raw, n_buckets=N_BUCKETS)
+    t2, r2 = S.bucket_counts_with_target(raw, pred, n_buckets=N_BUCKETS)
+    assert t1 == t2
+    assert r1 == r2
+    sel_two = [
+        r["doc_id"]
+        for r in S.dsir_select(
+            raw, raw.where(pred), k=5, n_buckets=N_BUCKETS
+        ).collect()
+    ]
+    sel_one = [
+        r["doc_id"]
+        for r in S.dsir_select(
+            raw, None, k=5, n_buckets=N_BUCKETS, target_filter=pred
+        ).collect()
+    ]
+    assert sel_two == sel_one
