@@ -2256,6 +2256,204 @@ def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB twin of the shared tokenization (functions.bpe.words_column —
+#: lower, trim, ASCII \s+ split, empties dropped) + uni/bigram expansion
+_NGRAMS_CTE = r"""
+words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT unnest(w) AS gram FROM words
+  UNION ALL
+  SELECT w[i] || ' ' || w[i + 1] AS gram
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 1)) AS i
+  ) s
+  WHERE len(w) >= 2
+)
+"""
+
+
+@_q(
+    "top_ngram_heavy_hitters",
+    f"""
+    WITH {_NGRAMS_CTE}
+    SELECT gram, CAST(count(*) AS BIGINT) AS occurrences
+    FROM grams GROUP BY gram
+    ORDER BY occurrences DESC, gram ASC LIMIT 40
+    """,
+)
+def top_ngram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-40 uni+bigrams — boilerplate discovery
+    and the hot-key feed for the dedup skew guards.  One combinable
+    wordcount shuffle + TakeOrderedAndProject (no global sort)."""
+    from .operators import corpus as C
+
+    return C.top_ngrams(_read(spark, sf_dir, "documents"), k=40)
+
+
+@_q(
+    "ngram_doc_frequency",
+    f"""
+    WITH {_NGRAMS_CTE},
+    df AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS doc_frequency
+      FROM (SELECT DISTINCT doc_id, gram
+            FROM (SELECT unnest(w) AS gram, doc_id FROM words
+                  UNION ALL
+                  SELECT w[i] || ' ' || w[i + 1] AS gram, doc_id
+                  FROM words, LATERAL (
+                    SELECT unnest(generate_series(1, len(w) - 1)) AS i
+                  ) s
+                  WHERE len(w) >= 2))
+      GROUP BY gram
+    )
+    SELECT gram, doc_frequency FROM df
+    WHERE doc_frequency >= 50
+    ORDER BY doc_frequency DESC, gram ASC
+    """,
+)
+def ngram_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency per n-gram (boilerplate = high-DF grams):
+    within-doc dedup BEFORE the explode keeps the shuffle at one row per
+    (doc, gram) — a plain combinable count, no count-distinct two-phase
+    aggregate."""
+    from .operators import corpus as C
+
+    return (
+        C.ngram_doc_frequencies(
+            _read(spark, sf_dir, "documents"), min_df=50
+        )
+        .orderBy(F.desc("doc_frequency"), F.asc("gram"))
+    )
+
+
+@_q(
+    "k_anonymity_violations",
+    """
+    SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_size
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    HAVING count(*) < 9
+    ORDER BY group_size ASC, c_nationkey ASC, c_mktsegment ASC
+    """,
+)
+def k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate: quasi-identifier combinations
+    (nation, segment) covering < 9 rows — the re-identifiable groups.
+    One combinable groupBy; result bounded by group count."""
+    from .operators import privacy as P
+
+    return P.k_anonymity_violations(
+        _read(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], 9
+    ).orderBy(F.asc("group_size"), F.asc("c_nationkey"), F.asc("c_mktsegment"))
+
+
+@_q(
+    "privacy_anonymity_summary",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(n) AS BIGINT) AS k_anonymity,
+           CAST(min(l) AS BIGINT) AS l_diversity
+    FROM (
+      SELECT count(*) AS n,
+             count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    """,
+)
+def privacy_anonymity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table's actual k (min quasi-group size) and l (min distinct
+    sensitive values per group, sensitive = account-balance band) — the
+    one-row release-gate headline."""
+    from .operators import privacy as P
+
+    df = _read(spark, sf_dir, "customer").withColumn(
+        "acct_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return P.anonymity_summary(
+        df, ["c_nationkey", "c_mktsegment"], "acct_band"
+    )
+
+
+#: deterministic URL synthesis from doc_id (same SQL text runs in Spark
+#: and DuckDB) with planted violations of every URL rule
+_URL_SYNTH_SQL = """
+concat(
+  'https://',
+  CASE WHEN doc_id % 23 = 0 THEN concat('93.184.216.', CAST(doc_id % 200 AS STRING))
+       WHEN doc_id % 11 = 0 THEN 'www.badsite.example'
+       WHEN doc_id % 7 = 0 THEN concat('files.example.', CASE WHEN doc_id % 2 = 0 THEN 'click' ELSE 'org' END)
+       ELSE concat('site', CAST(doc_id % 50 AS STRING), '.example.org') END,
+  '/', substr(md5(CAST(doc_id AS STRING)), 1, 8),
+  CASE WHEN doc_id % 13 = 0 THEN '.jpg' WHEN doc_id % 19 = 0 THEN '-casino' ELSE '' END,
+  CASE WHEN doc_id % 17 = 0 THEN '?a=1&b=2&c=3&d=4&e=5&f=6&g=7' ELSE '' END
+)
+"""
+
+
+@_q(
+    "url_filter_decisions",
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+    f AS (
+      SELECT doc_id, url,
+        regexp_replace(regexp_replace(
+            regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+            ':[0-9]+$', ''), '^www\\.', '') AS dom,
+        regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path
+      FROM u
+    ),
+    g AS (
+      SELECT doc_id, url,
+        dom IN ('badsite.example', 'spamhub.example') AS blocked_domain,
+        regexp_matches(regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                       '^[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}(:[0-9]+)?$') AS ip_host,
+        regexp_extract(dom, '\\.([a-z0-9-]+)$', 1) IN ('xxx','click','loan','top') AS bad_tld,
+        regexp_extract(path, '\\.([a-z0-9]+)$', 1)
+          IN ('jpg','jpeg','png','gif','mp3','mp4','avi','zip','exe','pdf') AS bad_extension,
+        (CASE WHEN position('?' IN lower(url)) > 0
+              THEN len(string_split(split_part(lower(url), '?', 2), '&'))
+              ELSE 0 END) > 6 AS excess_params,
+        (position('casino' IN lower(url)) > 0 OR position('viagra' IN lower(url)) > 0
+         OR position('porn' IN lower(url)) > 0 OR position('xvideos' IN lower(url)) > 0)
+          AS blocked_word
+      FROM f
+    )
+    SELECT doc_id, url,
+      NOT (blocked_domain OR ip_host OR bad_tld OR bad_extension
+           OR excess_params OR blocked_word) AS url_keep,
+      concat_ws('|',
+        CASE WHEN blocked_domain THEN 'blocked_domain' END,
+        CASE WHEN ip_host THEN 'ip_host' END,
+        CASE WHEN bad_tld THEN 'bad_tld' END,
+        CASE WHEN bad_extension THEN 'bad_extension' END,
+        CASE WHEN excess_params THEN 'excess_params' END,
+        CASE WHEN blocked_word THEN 'blocked_word' END) AS url_drop_reasons
+    FROM g ORDER BY doc_id
+    """,
+)
+def url_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain crawl-hygiene filter (C4/RefinedWeb stage zero): every
+    rule a pure-Catalyst regexp/locate projection; the domain blocklist
+    is a broadcast left join on the registered domain (never an isin
+    literal — real blocklists are ~10^5 domains).  URLs are synthesized
+    deterministically from doc_id with planted violations of each rule."""
+    from .operators import urlfilter as U
+
+    docs = _read(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_URL_SYNTH_SQL} AS url"
+    )
+    blocklist = spark.createDataFrame(
+        [("badsite.example",), ("spamhub.example",)], "domain string"
+    )
+    return U.filter_urls(docs, "url", domain_blocklist=blocklist).orderBy(
+        "doc_id"
+    )
+
+
 def _stratified_sql() -> str:
     from .operators.sampling import fraction_threshold
 
@@ -2856,6 +3054,11 @@ _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
     "dsir_log_weights",
     "dsir_selected_docs",
+    "top_ngram_heavy_hitters",
+    "ngram_doc_frequency",
+    "k_anonymity_violations",
+    "privacy_anonymity_summary",
+    "url_filter_decisions",
     # round-4 rotation: the 25 queries whose last driver row is r02
     # (rotated out of r03's 50-query cap) run FIRST, so every catalog
     # query has a driver row at most two rounds old
