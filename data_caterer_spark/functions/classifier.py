@@ -1,0 +1,402 @@
+"""fastText-style quality classifier: distributed logistic-regression
+TRAINING and inference over hashed n-gram features.
+
+The standard web-corpus quality gate (GPT-3's WebText-vs-crawl filter,
+CCNet/RedPajama's Wikipedia-reference classifier, FineWeb-Edu) is a
+linear classifier over hashed bag-of-n-gram features, trained on weak
+labels and applied to every document.  The reference has no trainer —
+its closest surface is per-field rule validation — so this is a
+new-build requirement of the training-data brief, built Spark-first:
+
+* **featurize** — one pass, Arrow-batched: hashed uni+bigram bucket
+  counts per document (same md5 bucket kernel as the DSIR path, so the
+  feature space is shared with importance weighting);
+* **train** — batch gradient descent.  Each iteration broadcasts the
+  weight vector and runs ONE ``mapInPandas`` pass that emits a single
+  dense partial-gradient row per PARTITION (the treeAggregate shape:
+  the driver collects #partitions rows of ``n_features`` int64s, never
+  per-document rows, and there is no shuffle at all);
+* **infer** — broadcast weights, one Arrow crossing, pure per-row
+  scoring.
+
+EXACTNESS DISCIPLINE (the package's fixed-point pattern, shared with
+DSIR): float addition order varies across partitions, so per-document
+gradient scalars are quantized to int64 nano-units INSIDE the shared
+row kernel, and everything summed across documents is an integer —
+order-independent, hence bit-identical to the sequential golden replay
+no matter the partitioning or cluster size.  The driver-side weight
+update is plain sequential float64 on those integer sums, so the whole
+weight TRAJECTORY is reproducible.
+
+At 10^9+ documents and n_features beyond ~2^20, the dense partial row
+(8 B x n_features per partition) is the knob to watch: either cap
+n_features (fastText itself defaults to 2^21 bigram buckets) or switch
+the partial emit to sparse (bucket, sum) pairs + one combinable
+groupBy — the semantics and the int64 exactness are unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..operators.selection import FIXED_SCALE, bucket_of, ngram_strings
+
+# ---------------------------------------------------------------------------
+# shared pure kernels — the Spark UDFs and the golden replay call THESE
+# ---------------------------------------------------------------------------
+
+
+def featurize_doc(
+    text: "str | None", n_features: int, include_bigrams: bool = True
+) -> "tuple[list[int], list[int], int]":
+    """(sorted bucket ids, parallel counts, total gram count) for one
+    document.  Buckets sorted ascending so every later float fold over
+    them runs in ONE fixed order everywhere."""
+    grams = ngram_strings(text, include_bigrams) if text else []
+    counts: dict[int, int] = {}
+    for g in grams:
+        b = bucket_of(g, n_features)
+        counts[b] = counts.get(b, 0) + 1
+    buckets = sorted(counts)
+    return buckets, [counts[b] for b in buckets], len(grams)
+
+
+def row_margin(
+    buckets: "list[int]",
+    counts: "list[int]",
+    total: int,
+    w: "np.ndarray",
+    bias: float,
+) -> float:
+    """z = bias + (sum_b count_b * w_b) / total — mean-of-embeddings, the
+    fastText aggregation.  numpy dot over the SORTED bucket order; both
+    sides call this exact function, so the float result is identical."""
+    if total <= 0 or len(buckets) == 0:
+        return float(bias)
+    dot = float(
+        np.dot(
+            w[np.asarray(buckets, dtype=np.int64)],
+            np.asarray(counts, dtype=np.float64),
+        )
+    )
+    return float(bias) + dot / float(total)
+
+
+def sigmoid(z: float) -> float:
+    # the overflow-safe split form (exp of a non-positive arg only)
+    if z >= 0:
+        return 1.0 / (1.0 + math.exp(-z))
+    e = math.exp(z)
+    return e / (1.0 + e)
+
+
+def grad_fixed(z: float, y: int) -> int:
+    """round-half-away-from-zero((sigmoid(z) - y) * 1e9) — the per-doc
+    gradient scalar as int64 nano-units.  Everything summed across
+    documents derives from this integer, so sums commute exactly."""
+    g = (sigmoid(z) - float(y)) * FIXED_SCALE
+    return int(math.floor(g + 0.5)) if g >= 0 else -int(math.floor(-g + 0.5))
+
+
+def loss_fixed(z: float, y: int) -> int:
+    """Per-doc logistic loss in nano-units (for the metrics sidecar)."""
+    # -log(sigmoid(z)) if y==1 else -log(1 - sigmoid(z)), stable form:
+    # log1p(exp(-|z|)) plus |z| exactly when the sign disagrees with y
+    l = math.log1p(math.exp(-abs(z))) + (
+        abs(z) if (z >= 0) != (y == 1) else 0.0
+    )
+    v = l * FIXED_SCALE
+    return int(math.floor(v + 0.5))
+
+
+@dataclass
+class QualityClassifier:
+    """Trained model: weights (len n_features), bias, and the config
+    needed to featurize identically at inference time."""
+
+    weights: "np.ndarray"
+    bias: float
+    n_features: int
+    include_bigrams: bool = True
+    loss_history_fixed: "tuple[int, ...]" = ()
+
+
+def _train_sums(
+    rows: "Iterator[tuple]",
+    w: "np.ndarray",
+    bias: float,
+    n_features: int,
+) -> "tuple[np.ndarray, int, int, int]":
+    """Accumulate one partial over (buckets, counts, total, y) rows:
+    (dense int64 grad, bias grad, loss, n_docs).  Shared verbatim by the
+    per-partition Spark pass and the sequential replay."""
+    grad = np.zeros(n_features, dtype=np.int64)
+    bias_g = 0
+    loss = 0
+    n = 0
+    for buckets, counts, total, y in rows:
+        z = row_margin(buckets, counts, total, w, bias)
+        gf = grad_fixed(z, y)
+        if len(buckets) > 0 and total > 0:
+            b = np.asarray(buckets, dtype=np.int64)
+            c = np.asarray(counts, dtype=np.int64)
+            # integer per-bucket contribution: gf * count / total in
+            # nano-units, quantized per (doc, bucket) with one fixed rule
+            contrib = gf * c
+            # exact integer division is NOT safe here (remainders), so
+            # keep the whole contribution integral by folding 1/total
+            # into the DRIVER-side float update instead would lose the
+            # per-doc scaling; quantize per bucket half-away-from-zero:
+            q = np.floor_divide(np.abs(contrib) * 2 + total, 2 * total)
+            grad[b] += np.sign(contrib) * q
+        bias_g += gf
+        loss += loss_fixed(z, y)
+        n += 1
+    return grad, bias_g, loss, n
+
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+_FEAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("y", IntegerType()),
+        StructField("buckets", ArrayType(IntegerType())),
+        StructField("counts", ArrayType(IntegerType())),
+        StructField("total", LongType()),
+    ]
+)
+
+
+def featurize(
+    df: DataFrame,
+    label: Column,
+    n_features: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """One Arrow-batched pass: (doc_id, y, buckets, counts, total)."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        label.cast("int").alias("y"),
+        F.col(text_col).alias("__text"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf["__text"].where(pdf["__text"].notna(), None)
+            feats = [
+                featurize_doc(t, n_features, include_bigrams)
+                for t in texts
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "y": pdf["y"].fillna(0).astype("int32"),
+                    "buckets": [f[0] for f in feats],
+                    "counts": [f[1] for f in feats],
+                    "total": [f[2] for f in feats],
+                }
+            )
+
+    return src.mapInPandas(gen, _FEAT_SCHEMA)
+
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("grad", ArrayType(LongType())),
+        StructField("bias_grad", LongType()),
+        StructField("loss", LongType()),
+        StructField("n_docs", LongType()),
+    ]
+)
+
+
+def train(
+    df: DataFrame,
+    label: Column,
+    n_features: int = 4096,
+    iters: int = 6,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_bigrams: bool = True,
+) -> QualityClassifier:
+    """Batch-GD training: per iteration ONE shuffle-free pass emitting a
+    dense int64 partial gradient per partition; the driver sums the
+    integers (order-independent) and takes the float step."""
+    feat = featurize(
+        df, label, n_features, id_col, text_col, include_bigrams
+    ).persist()
+    feat.count()  # pin before the iteration loop
+
+    spark = df.sparkSession
+    w = np.zeros(n_features, dtype=np.float64)
+    bias = 0.0
+    history: list[int] = []
+    try:
+        for _ in range(iters):
+            bc = spark.sparkContext.broadcast((w.tobytes(), bias))
+
+            def partial(
+                batches: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                wv, bv = bc.value
+                wloc = np.frombuffer(wv, dtype=np.float64)
+                grad = np.zeros(n_features, dtype=np.int64)
+                bias_g = 0
+                loss = 0
+                n = 0
+                for pdf in batches:
+                    g2, b2, l2, n2 = _train_sums(
+                        zip(
+                            pdf["buckets"],
+                            pdf["counts"],
+                            pdf["total"],
+                            pdf["y"],
+                        ),
+                        wloc,
+                        bv,
+                        n_features,
+                    )
+                    grad += g2
+                    bias_g += b2
+                    loss += l2
+                    n += n2
+                yield pd.DataFrame(
+                    {
+                        "grad": [grad.tolist()],
+                        "bias_grad": [bias_g],
+                        "loss": [loss],
+                        "n_docs": [n],
+                    }
+                )
+
+            parts = feat.mapInPandas(partial, _PARTIAL_SCHEMA).collect()
+            grad = np.zeros(n_features, dtype=np.int64)
+            bias_g = 0
+            loss = 0
+            n = 0
+            for r in parts:
+                grad += np.asarray(r["grad"], dtype=np.int64)
+                bias_g += int(r["bias_grad"])
+                loss += int(r["loss"])
+                n += int(r["n_docs"])
+            if n == 0:
+                break
+            w = w - lr * (grad.astype(np.float64) / FIXED_SCALE / n)
+            bias = bias - lr * (float(bias_g) / FIXED_SCALE / n)
+            history.append(loss)
+    finally:
+        feat.unpersist()
+    return QualityClassifier(
+        w, bias, n_features, include_bigrams, tuple(history)
+    )
+
+
+_SCORE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("score_fixed", LongType()),
+        StructField("keep", BooleanType()),
+    ]
+)
+
+
+def score_doc(
+    text: "str | None",
+    w: "np.ndarray",
+    bias: float,
+    n_features: int,
+    include_bigrams: bool = True,
+) -> "tuple[int, bool]":
+    """(sigmoid(z) in nano-units, keep at the 0.5 boundary) — the shared
+    inference kernel."""
+    buckets, counts, total = featurize_doc(text, n_features, include_bigrams)
+    z = row_margin(buckets, counts, total, w, bias)
+    p = sigmoid(z) * FIXED_SCALE
+    sf = int(math.floor(p + 0.5))
+    return sf, sf >= FIXED_SCALE // 2
+
+
+def infer(
+    df: DataFrame,
+    model: QualityClassifier,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score_fixed, keep): broadcast weights, one Arrow pass."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (model.weights.tobytes(), model.bias, model.n_features,
+         model.include_bigrams)
+    )
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("__text"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wv, bv, nf, bg = bc.value
+        wloc = np.frombuffer(wv, dtype=np.float64)
+        for pdf in batches:
+            texts = pdf["__text"].where(pdf["__text"].notna(), None)
+            scored = [score_doc(t, wloc, bv, nf, bg) for t in texts]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "score_fixed": [s[0] for s in scored],
+                    "keep": [s[1] for s in scored],
+                }
+            )
+
+    return src.mapInPandas(gen, _SCORE_SCHEMA)
+
+
+def train_sequential(
+    rows: "list[tuple[int, str | None, int]]",
+    n_features: int = 4096,
+    iters: int = 6,
+    lr: float = 0.5,
+    include_bigrams: bool = True,
+) -> QualityClassifier:
+    """Single-threaded replay of :func:`train` over (doc_id, text, y)
+    rows — the golden oracle's trainer.  Same kernels, same integer
+    sums, so the weight trajectory is bit-identical to the cluster."""
+    feats = [
+        (*featurize_doc(t, n_features, include_bigrams), y)
+        for _, t, y in rows
+    ]
+    w = np.zeros(n_features, dtype=np.float64)
+    bias = 0.0
+    history: list[int] = []
+    for _ in range(iters):
+        grad, bias_g, loss, n = _train_sums(
+            ((b, c, tot, y) for b, c, tot, y in feats), w, bias, n_features
+        )
+        if n == 0:
+            break
+        w = w - lr * (grad.astype(np.float64) / FIXED_SCALE / n)
+        bias = bias - lr * (float(bias_g) / FIXED_SCALE / n)
+        history.append(loss)
+    return QualityClassifier(
+        w, bias, n_features, include_bigrams, tuple(history)
+    )

@@ -969,3 +969,37 @@ def dsir_golden_sql(
         for d, w in items
     ]
     return _values_sql(rows, "doc_id, log_weight_fixed, log_weight")
+
+
+def quality_classifier_golden_sql(
+    sf_dir: str | None = None,
+    n_features: int = 1024,
+    iters: int = 6,
+    lr: float = 0.5,
+    target_lang: str = "en",
+) -> str:
+    """Sequential replay of the quality-classifier train+infer pipeline
+    (``functions/classifier.py``): same featurize/margin/grad kernels,
+    same int64 nano-unit gradient sums (order-independent, so the
+    single-threaded weight trajectory is bit-identical to the cluster's
+    per-partition partials), same scoring kernel."""
+    import duckdb
+
+    from .functions.classifier import score_doc, train_sequential
+
+    sf = sf_dir or _oracle_sf_dir()
+    recs = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM "
+        f"read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    rows = [
+        (int(d), t, 1 if lang == target_lang else 0) for d, t, lang in recs
+    ]
+    model = train_sequential(rows, n_features, iters, lr)
+    out = []
+    for d, t, _y in rows:
+        sfx, keep = score_doc(t, model.weights, model.bias, n_features)
+        out.append(
+            f"(CAST({d} AS BIGINT), CAST({sfx} AS BIGINT), {str(keep).upper()})"
+        )
+    return _values_sql(out, "doc_id, score_fixed, keep")

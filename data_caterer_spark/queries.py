@@ -2454,6 +2454,29 @@ def url_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _classifier_oracle() -> str:
+    from .golden import quality_classifier_golden_sql
+
+    return quality_classifier_golden_sql()
+
+
+@_q("quality_classifier_scores", _classifier_oracle)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier TRAINING + inference (the
+    GPT-3/CCNet-style linear gate over hashed n-grams): 6 batch-GD
+    iterations, each ONE shuffle-free mapInPandas pass emitting a dense
+    int64 partial gradient per partition; weak label = lang=='en'.
+    Fixed-point gradient sums make the weight trajectory identical to
+    the sequential golden replay on any cluster size."""
+    from .functions import classifier as CLS
+
+    docs = _fan_out(_read(spark, sf_dir, "documents"))
+    model = CLS.train(
+        docs, F.col("lang") == "en", n_features=1024, iters=6, lr=0.5
+    )
+    return CLS.infer(docs, model).orderBy("doc_id")
+
+
 def _stratified_sql() -> str:
     from .operators.sampling import fraction_threshold
 
@@ -3059,6 +3082,7 @@ _DRIVER_PRIORITY = [
     "k_anonymity_violations",
     "privacy_anonymity_summary",
     "url_filter_decisions",
+    "quality_classifier_scores",
     # round-4 rotation: the 25 queries whose last driver row is r02
     # (rotated out of r03's 50-query cap) run FIRST, so every catalog
     # query has a driver row at most two rounds old
