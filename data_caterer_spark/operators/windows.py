@@ -243,3 +243,63 @@ def concat_pack(
         .withColumn(offset_col, F.col("__cumb") % F.lit(budget))
         .drop("__h", "__pid", "__cumb")
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Overlapping token-window chunking of long documents — the
+    long-context preprocessing step (embedding indexing, SFT sample
+    construction) that concat packing (:func:`concat_pack`) deliberately
+    does NOT do: here each document yields ceil((n - window)/stride) + 1
+    windows of ``window`` tokens every ``stride`` tokens, so consecutive
+    chunks overlap by ``window - stride`` tokens and no boundary context
+    is lost.
+
+    Pure Catalyst, embarrassingly parallel: tokenize (the shared
+    ``words_column`` normalization) -> integer chunk-count arithmetic
+    (SQL ``div`` — exact at any length) -> ``explode(sequence(...))`` ->
+    ``slice``.  No shuffle at all; the explode happens in the scan
+    stage.  Documents with no tokens yield no chunks.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text).
+    """
+    from ..functions.bpe import words_column
+
+    if window <= 0 or stride <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    d = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("__w", words_column(text_col))
+        .withColumn("__n", F.size("__w"))
+        .where(F.col("__n") > 0)
+        .withColumn(
+            "__k",
+            F.when(F.col("__n") <= window, F.lit(1)).otherwise(
+                F.expr(f"((__n - {window} + {stride} - 1) div {stride}) + 1")
+            ),
+        )
+    )
+    return (
+        d.select(
+            id_col,
+            "__w",
+            F.explode(F.sequence(F.lit(0), F.col("__k") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .withColumn(
+            "__chunk",
+            F.slice(F.col("__w"), F.col("chunk_idx") * stride + 1, window),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("__chunk").alias("n_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )

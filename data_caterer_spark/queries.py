@@ -2477,6 +2477,53 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CLS.infer(docs, model).orderBy("doc_id")
 
 
+@_q(
+    "sliding_window_chunks",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    d AS (
+      SELECT doc_id, w, len(w) AS n,
+             CASE WHEN len(w) <= 32 THEN 1
+                  ELSE ((len(w) - 32 + 16 - 1) // 16) + 1 END AS k
+      FROM w WHERE len(w) > 0
+    ),
+    c AS (
+      SELECT doc_id, i AS chunk_idx,
+             list_slice(w, i * 16 + 1,
+                        least(i * 16 + 32, n)) AS chunk
+      FROM d, LATERAL (SELECT unnest(generate_series(0, k - 1)) AS i) s
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(chunk) AS INTEGER) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 32, stride 16) — the
+    long-context preprocessing step; shuffle-free explode in the scan
+    stage.  Chunk text md5'd for the hash compare (driver convention)."""
+    from .operators import windows as W
+
+    return (
+        W.sliding_chunks(
+            _read(spark, sf_dir, "documents"), window=32, stride=16
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+            F.md5(F.col("chunk_text")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def _stratified_sql() -> str:
     from .operators.sampling import fraction_threshold
 
@@ -3083,6 +3130,7 @@ _DRIVER_PRIORITY = [
     "privacy_anonymity_summary",
     "url_filter_decisions",
     "quality_classifier_scores",
+    "sliding_window_chunks",
     # round-4 rotation: the 25 queries whose last driver row is r02
     # (rotated out of r03's 50-query cap) run FIRST, so every catalog
     # query has a driver row at most two rounds old

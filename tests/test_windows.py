@@ -214,3 +214,39 @@ def test_concat_pack_exact_past_double_mantissa(spark):
     for doc in order:
         assert got[doc] == (cum // budget, cum % budget), doc
         cum += sizes[doc]
+
+
+def test_sliding_chunks_overlap_semantics(spark):
+    from data_caterer_spark.operators.windows import sliding_chunks
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        for r in sliding_chunks(df, window=4, stride=2).collect()
+    )
+    # doc 1: 10 tokens, window 4 stride 2 -> ceil((10-4)/2)+1 = 4 chunks
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in d1] == [0, 1, 2, 3]
+    assert d1[0][3] == "w0 w1 w2 w3"
+    assert d1[1][3] == "w2 w3 w4 w5"      # overlap = window - stride
+    assert d1[3][3] == "w6 w7 w8 w9"
+    # short doc -> ONE (possibly short) chunk; empty/null -> none
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 2, "a b")]
+    assert not [r for r in rows if r[0] in (3, 4)]
+
+
+def test_sliding_chunks_is_shuffle_free(spark):
+    from data_caterer_spark.operators.windows import sliding_chunks
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = (
+        sliding_chunks(df, window=2, stride=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
