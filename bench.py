@@ -54,8 +54,12 @@ HEADLINE = [
     "repeated_span_removal",    # boilerplate span cut + text reassembly
     "pretrain_packing_bins",    # concat-and-chunk context packing
     "temperature_mix_counts",   # n^alpha training-mix sampling
-    "dsir_selected_docs",       # DSIR importance resampling (2 model fits
-                                # + broadcast-ratio scoring + top-k)
+    "dsir_selected_docs",       # DSIR importance resampling (one-scan
+                                # pair fit + broadcast-ratio scoring + top-k)
+    "quality_classifier_scores",  # distributed classifier TRAINING (6 GD
+                                  # iterations, shuffle-free partials) + infer
+    "url_filter_decisions",     # crawl-hygiene URL rules + broadcast blocklist
+    "top_ngram_heavy_hitters",  # corpus wordcount + TakeOrderedAndProject
 ]
 
 

@@ -2227,7 +2227,7 @@ def dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: sequential shared-kernel replay."""
     from .operators import selection as SEL
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan_out(_read(spark, sf_dir, "documents"))
     t_counts, r_counts = SEL.bucket_counts_with_target(
         docs, F.col("lang") == "en", n_buckets=8192
     )
@@ -2249,7 +2249,7 @@ def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the temperature mix's language axis."""
     from .operators import selection as SEL
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _fan_out(_read(spark, sf_dir, "documents"))
     return SEL.dsir_select(
         docs, None, k=50, n_buckets=8192,
         target_filter=F.col("lang") == "en",
@@ -2292,7 +2292,7 @@ def top_ngram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     wordcount shuffle + TakeOrderedAndProject (no global sort)."""
     from .operators import corpus as C
 
-    return C.top_ngrams(_read(spark, sf_dir, "documents"), k=40)
+    return C.top_ngrams(_fan_out(_read(spark, sf_dir, "documents")), k=40)
 
 
 @_q(
@@ -2325,7 +2325,7 @@ def ngram_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         C.ngram_doc_frequencies(
-            _read(spark, sf_dir, "documents"), min_df=50
+            _fan_out(_read(spark, sf_dir, "documents")), min_df=50
         )
         .orderBy(F.desc("doc_frequency"), F.asc("gram"))
     )
@@ -2443,7 +2443,7 @@ def url_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically from doc_id with planted violations of each rule."""
     from .operators import urlfilter as U
 
-    docs = _read(spark, sf_dir, "documents").selectExpr(
+    docs = _fan_out(_read(spark, sf_dir, "documents")).selectExpr(
         "doc_id", f"{_URL_SYNTH_SQL} AS url"
     )
     blocklist = spark.createDataFrame(
@@ -2512,7 +2512,7 @@ def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         W.sliding_chunks(
-            _read(spark, sf_dir, "documents"), window=32, stride=16
+            _fan_out(_read(spark, sf_dir, "documents")), window=32, stride=16
         )
         .select(
             "doc_id",
