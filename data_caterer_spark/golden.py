@@ -1003,3 +1003,19 @@ def quality_classifier_golden_sql(
             f"(CAST({d} AS BIGINT), CAST({sfx} AS BIGINT), {str(keep).upper()})"
         )
     return _values_sql(out, "doc_id, score_fixed, keep")
+
+
+def streaming_dedup_golden_sql(n_convs: int = 120, seed: int = 42) -> str:
+    """Distinct normalized-text fingerprints of the streaming fixture —
+    the sequential twin of ``streaming_exact_dedup`` (same md5-of-
+    trim-lower key; the SET of survivors is arrival-order-invariant)."""
+    from .fixtures import generate_transcripts
+
+    fps = set()
+    for row in generate_transcripts(n_convs=n_convs, seed=seed):
+        t = row["text"]
+        if t is None:
+            continue
+        fps.add(hashlib.md5(t.strip(" ").lower().encode("utf-8")).hexdigest())
+    vals = [f"('{f}')" for f in sorted(fps)]
+    return _values_sql(vals, "fp")

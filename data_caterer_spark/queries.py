@@ -2124,6 +2124,26 @@ def streaming_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(metrics, f"{base}/cp", "complete")
 
 
+def _streaming_dedup_golden_oracle() -> str:
+    from .golden import streaming_dedup_golden_sql
+
+    return streaming_dedup_golden_sql(n_convs=120)
+
+
+@_q("streaming_exact_dedup", _streaming_dedup_golden_oracle)
+def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: watermarked dropDuplicates on a replayable
+    md5 text fingerprint — state bounded by the watermark horizon, so it
+    survives an unbounded stream.  Output = the distinct fingerprint set
+    (arrival-order-invariant); oracle = the sequential replay over the
+    same fixture."""
+    from .streaming.quality_stream import streaming_exact_dedup as dedup
+
+    stream, base = _stream_fixture(spark, n_convs=120)
+    out = dedup(stream)
+    return _run_available_now(out, f"{base}/cp", "append").orderBy("fp")
+
+
 # --------------------------------------------------------------------------
 # training-set curation: deterministic sampling + decontamination
 # --------------------------------------------------------------------------
@@ -3131,6 +3151,7 @@ _DRIVER_PRIORITY = [
     "url_filter_decisions",
     "quality_classifier_scores",
     "sliding_window_chunks",
+    "streaming_exact_dedup",
     # round-4 rotation: the 25 queries whose last driver row is r02
     # (rotated out of r03's 50-query cap) run FIRST, so every catalog
     # query has a driver row at most two rounds old

@@ -174,3 +174,35 @@ def stateful_turn_order(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each normalized text
+    passes, replays are dropped — the streaming twin of the batch
+    fingerprint-groupBy path (``operators/dedup.py``).
+
+    ``dropDuplicates`` keyed on the fingerprint AFTER a watermark on the
+    event time bounds the dedup state: fingerprints older than the
+    watermark horizon are evicted, so state is proportional to the
+    recent-traffic window, not the stream's history (the only shape that
+    survives an unbounded 10^12-turn stream).  The key is md5 of the
+    space-trimmed lowercased text — replayable byte-for-byte by the
+    sequential oracle (batch exact dedup uses xxhash64 for shuffle
+    economy; a stream key must be replayable, and md5 is).
+
+    Emits just the fingerprint (deterministic under any arrival order;
+    the winning duplicate's other columns are race-dependent and are
+    deliberately not exposed)."""
+    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        stream.where(F.col(text_col).isNotNull())
+        .withColumn("fp", fp)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["fp"])
+        .select("fp")
+    )

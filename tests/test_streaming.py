@@ -146,3 +146,30 @@ def test_stateful_turn_order(spark, fixture_path, tmp_path):
         != (r["role_alternation_ok"], r["turn_contiguous"], r["ts_monotone"])
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_streaming_exact_dedup_matches_batch_distinct(spark, fixture_path, tmp_path):
+    """The streaming dedup's surviving fingerprint set equals the batch
+    DISTINCT over the same input, and the plan carries dedup state with
+    a watermark (bounded, not stream-lifetime)."""
+    from data_caterer_spark.streaming.quality_stream import streaming_exact_dedup
+
+    schema = spark.read.parquet(fixture_path).schema
+    stream = spark.readStream.schema(schema).parquet(fixture_path)
+    out = streaming_exact_dedup(stream)
+    assert out.isStreaming
+    got = {
+        r["fp"]
+        for r in _run_stream(
+            spark, out, "dedup_stream", str(tmp_path / "cp")
+        ).collect()
+    }
+    batch = spark.read.parquet(fixture_path)
+    expect = {
+        r["fp"]
+        for r in batch.where(F.col("text").isNotNull())
+        .select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert got == expect and len(got) > 0
