@@ -1019,3 +1019,67 @@ def streaming_dedup_golden_sql(n_convs: int = 120, seed: int = 42) -> str:
         fps.add(hashlib.md5(t.strip(" ").lower().encode("utf-8")).hexdigest())
     vals = [f"('{f}')" for f in sorted(fps)]
     return _values_sql(vals, "fp")
+
+
+def curation_funnel_golden_sql(
+    sf_dir: str | None = None,
+    n_features: int = 512,
+    iters: int = 4,
+    lr: float = 0.5,
+    n_buckets: int = 4096,
+) -> str:
+    """Sequential replay of the END-TO-END curation funnel
+    (``plans/curation.py``): URL rules -> classifier gate -> exact dedup
+    -> DSIR weighting, all via the same shared kernels, so the per-source
+    funnel rows match the cluster's single DAG bit-for-bit."""
+    import duckdb
+
+    from .plans.curation import curation_funnel_sequential
+
+    sf = sf_dir or _oracle_sf_dir()
+    recs = duckdb.sql(
+        f"SELECT doc_id, text, lang, source FROM "
+        f"read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    rows = [
+        {"doc_id": int(d), "text": t, "lang": lang, "source": src}
+        for d, t, lang, src in recs
+    ]
+
+    def url_of(d: int) -> str:
+        # python twin of queries._URL_SYNTH_SQL
+        h = hashlib.md5(str(d).encode("utf-8")).hexdigest()[:8]
+        if d % 23 == 0:
+            host = f"93.184.216.{d % 200}"
+        elif d % 11 == 0:
+            host = "www.badsite.example"
+        elif d % 7 == 0:
+            host = "files.example." + ("click" if d % 2 == 0 else "org")
+        else:
+            host = f"site{d % 50}.example.org"
+        url = f"https://{host}/{h}"
+        if d % 13 == 0:
+            url += ".jpg"
+        elif d % 19 == 0:
+            url += "-casino"
+        if d % 17 == 0:
+            url += "?a=1&b=2&c=3&d=4&e=5&f=6&g=7"
+        return url
+
+    funnel = curation_funnel_sequential(
+        rows,
+        url_of,
+        {"badsite.example", "spamhub.example"},
+        n_features=n_features,
+        iters=iters,
+        lr=lr,
+        n_buckets=n_buckets,
+    )
+    vals = [
+        f"('{s}', CAST({a} AS BIGINT), CAST({b} AS BIGINT), "
+        f"CAST({c} AS BIGINT), CAST({d} AS BIGINT), CAST({e} AS BIGINT))"
+        for s, a, b, c, d, e in funnel
+    ]
+    return _values_sql(
+        vals, "source, n_input, n_url, n_quality, n_unique, weight_fixed_sum"
+    )

@@ -2544,6 +2544,33 @@ def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_oracle() -> str:
+    from .golden import curation_funnel_golden_sql
+
+    return curation_funnel_golden_sql()
+
+
+@_q("curation_funnel_end_to_end", _curation_oracle)
+def curation_funnel_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data funnel in one DAG (plans/curation.py):
+    URL hygiene -> classifier quality gate (trained in-pipeline) ->
+    exact dedup -> DSIR weighting -> per-source funnel metrics.  Every
+    cross-row number is an int64 count or fixed-point sum, so the whole
+    composition is exact under any partitioning; oracle = the sequential
+    replay chaining the same shared kernels."""
+    from .plans.curation import curation_funnel
+
+    docs = _fan_out(_read(spark, sf_dir, "documents")).selectExpr(
+        "doc_id", "text", "lang", "source", f"{_URL_SYNTH_SQL} AS url"
+    )
+    blocklist = spark.createDataFrame(
+        [("badsite.example",), ("spamhub.example",)], "domain string"
+    )
+    return curation_funnel(docs, domain_blocklist=blocklist).orderBy(
+        "source"
+    )
+
+
 def _stratified_sql() -> str:
     from .operators.sampling import fraction_threshold
 
@@ -3152,6 +3179,7 @@ _DRIVER_PRIORITY = [
     "quality_classifier_scores",
     "sliding_window_chunks",
     "streaming_exact_dedup",
+    "curation_funnel_end_to_end",
     # round-4 rotation: the 25 queries whose last driver row is r02
     # (rotated out of r03's 50-query cap) run FIRST, so every catalog
     # query has a driver row at most two rounds old
