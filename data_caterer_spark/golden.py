@@ -1083,3 +1083,36 @@ def curation_funnel_golden_sql(
     return _values_sql(
         vals, "source, n_input, n_url, n_quality, n_unique, weight_fixed_sum"
     )
+
+
+def streaming_classifier_golden_sql(
+    n_convs: int = 120,
+    seed: int = 42,
+    n_features: int = 512,
+    iters: int = 4,
+    lr: float = 0.5,
+) -> str:
+    """Sequential replay of train-offline / score-online: the classifier
+    trained on the batch fixture (weak label role=='assistant'), every
+    streamed turn scored with the shared kernel."""
+    from .fixtures import generate_transcripts
+    from .functions.classifier import score_doc, train_sequential
+
+    rows = generate_transcripts(n_convs=n_convs, seed=seed)
+    labeled = [
+        (i, r["text"], 1 if r["role"] == "assistant" else 0)
+        for i, r in enumerate(rows)
+    ]
+    model = train_sequential(
+        labeled, n_features=n_features, iters=iters, lr=lr
+    )
+    vals = []
+    for r in rows:
+        sfx, keep = score_doc(
+            r["text"], model.weights, model.bias, n_features
+        )
+        vals.append(
+            f"('{r['conv_id']}', CAST({r['turn_idx']} AS INTEGER), "
+            f"CAST({sfx} AS BIGINT), {str(keep).upper()})"
+        )
+    return _values_sql(vals, "conv_id, turn_idx, score_fixed, keep")

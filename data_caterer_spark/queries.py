@@ -2144,6 +2144,35 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(out, f"{base}/cp", "append").orderBy("fp")
 
 
+def _streaming_classifier_oracle() -> str:
+    from .golden import streaming_classifier_golden_sql
+
+    return streaming_classifier_golden_sql(n_convs=120)
+
+
+@_q("streaming_classifier_scores", _streaming_classifier_oracle)
+def streaming_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-offline / score-online: the quality classifier trained on
+    the BATCH fixture (weak label role=='assistant'), then served on the
+    STREAM of the same turns — broadcast weights, one Arrow crossing per
+    micro-batch.  Streamed scores are bit-identical to the sequential
+    replay (shared kernels + fixed-point training)."""
+    from .functions import classifier as CLS
+    from .streaming.quality_stream import streaming_classifier_scores as score
+
+    stream, base = _stream_fixture(spark, n_convs=120)
+    batch = spark.read.parquet(f"{base}/in").withColumn(
+        "doc_id", F.lit(0).cast("long")
+    )
+    model = CLS.train(
+        batch, F.col("role") == "assistant", n_features=512, iters=4, lr=0.5
+    )
+    out = score(stream, model)
+    return _run_available_now(out, f"{base}/cp", "append").orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
 # --------------------------------------------------------------------------
 # training-set curation: deterministic sampling + decontamination
 # --------------------------------------------------------------------------
@@ -2541,6 +2570,38 @@ def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("chunk_text")).alias("chunk_md5"),
         )
         .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@_q(
+    "l_diversity_violations",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS distinct_sensitive
+    FROM (
+      SELECT DISTINCT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer
+    )
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING count(*) < 6
+    ORDER BY distinct_sensitive ASC, c_nationkey ASC, c_mktsegment ASC
+    """,
+)
+def l_diversity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release gate: quasi-identifier combinations whose rows
+    span < 6 distinct sensitive values (account-balance band) — the
+    attribute-disclosure groups.  Pre-dedup on (quasi, sensitive), then
+    one combinable count (no count-distinct expansion)."""
+    from .operators import privacy as P
+
+    df = _read(spark, sf_dir, "customer").withColumn(
+        "band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return P.l_diversity_violations(
+        df, ["c_nationkey", "c_mktsegment"], "band", 6
+    ).orderBy(
+        F.asc("distinct_sensitive"), F.asc("c_nationkey"), F.asc("c_mktsegment")
     )
 
 
@@ -3180,6 +3241,8 @@ _DRIVER_PRIORITY = [
     "sliding_window_chunks",
     "streaming_exact_dedup",
     "curation_funnel_end_to_end",
+    "l_diversity_violations",
+    "streaming_classifier_scores",
     # round-4 rotation: the 25 queries whose last driver row is r02
     # (rotated out of r03's 50-query cap) run FIRST, so every catalog
     # query has a driver row at most two rounds old

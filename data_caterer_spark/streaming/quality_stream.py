@@ -206,3 +206,61 @@ def streaming_exact_dedup(
         .dropDuplicates(["fp"])
         .select("fp")
     )
+
+
+def streaming_classifier_scores(stream: DataFrame, model) -> DataFrame:
+    """Serve a batch-trained quality classifier on a live stream — the
+    train-offline / score-online deployment every quality gate runs in
+    production.  Broadcast weights, one Arrow crossing per micro-batch,
+    per-turn keys preserved; the scoring kernel is the shared
+    ``classifier.score_doc``, so streamed scores are bit-identical to
+    batch and to the sequential replay."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.classifier import score_doc
+
+    spark = stream.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (
+            model.weights.tobytes(),
+            model.bias,
+            model.n_features,
+            model.include_bigrams,
+        )
+    )
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("score_fixed", LongType()),
+            StructField("keep", BooleanType()),
+        ]
+    )
+    src = stream.select("conv_id", "turn_idx", "text")
+
+    def gen(batches):
+        import numpy as np
+
+        wv, bv, nf, bg = bc.value
+        w = np.frombuffer(wv, dtype=np.float64)
+        for pdf in batches:
+            texts = pdf["text"].where(pdf["text"].notna(), None)
+            scored = [score_doc(t, w, bv, nf, bg) for t in texts]
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"].astype("int32"),
+                    "score_fixed": [s[0] for s in scored],
+                    "keep": [s[1] for s in scored],
+                }
+            )
+
+    return src.mapInPandas(gen, schema)
