@@ -375,6 +375,89 @@ def ivf_knn_golden_sql(
     return _values_sql(rows, "id_a, id_b, cos_sim, rank")
 
 
+def pq_adc_golden_sql(
+    sf_dir: str | None = None,
+    m_subspaces: int = 16,
+    k_codes: int = 32,
+    k: int = 10,
+    rerank: int = 50,
+    iters: int = 5,
+    seed: int = 42,
+    sample_rows: int = 10_000,
+) -> str:
+    """Independent replay of the PQ ADC top-k + exact re-rank: the SAME
+    seeded md5-threshold training sample in id order, the SAME shared
+    kernels (pq_fit_codebooks / pq_encode / pq_adc_lut / pq_adc_scores —
+    bit-identical to the Spark UDF path by construction), fold-order-exact
+    cosine on the re-rank candidates, ordering on ROUNDED scores."""
+    import hashlib
+    import math
+
+    import duckdb
+    import numpy as np
+
+    sf = sf_dir or _oracle_sf_dir()
+    recs = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+    ids = [r[0] for r in recs]
+    vecs = {r[0]: [float(x) for x in r[1]] for r in recs}
+
+    from .operators.sampling import fraction_threshold
+    from .operators.similarity import (
+        pq_adc_lut,
+        pq_adc_scores,
+        pq_encode,
+        pq_fit_codebooks,
+    )
+
+    n = len(ids)
+    thr = fraction_threshold(min(1.0, sample_rows / max(n, 1)))
+    samp = sorted(
+        vid
+        for vid in ids
+        if hashlib.md5(f"{seed}\x1f{vid}".encode()).hexdigest()[:8] < thr
+    )
+    x = np.array([vecs[i] for i in samp], dtype=np.float64)
+    books = pq_fit_codebooks(x, m_subspaces, k_codes, iters=iters, seed=seed)
+    q = np.array(vecs[0], dtype=np.float64)
+    mat = np.array([vecs[i] for i in ids], dtype=np.float64)
+    codes = pq_encode(mat, books)
+    adc = pq_adc_scores(codes, pq_adc_lut(q, books))
+    scored = sorted(
+        ((_spark_round(float(d), 6), vid) for d, vid in zip(adc, ids)),
+        key=lambda t: (t[0], t[1]),
+    )[:rerank]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for p, v in zip(a, b):
+            acc += p * v
+        return acc
+
+    def fold_norm(a):
+        acc = 0.0
+        for p in a:
+            acc += p * p
+        return math.sqrt(acc)
+
+    qn = fold_norm(vecs[0])
+    finals = []
+    for adc_r, vid in scored:
+        nv = fold_norm(vecs[vid])
+        if not (nv > 0 and qn > 0):
+            continue
+        cos = _spark_round(fold_dot(vecs[vid], vecs[0]) / (nv * qn), 6)
+        finals.append((cos, vid, adc_r))
+    finals.sort(key=lambda t: (-t[0], t[1]))
+    rows = [
+        f"(CAST({vid} AS BIGINT), CAST('{adc_r!r}' AS DOUBLE), "
+        f"CAST('{cos!r}' AS DOUBLE))"
+        for cos, vid, adc_r in finals[:k]
+    ]
+    return _values_sql(rows, "vec_id, adc_dist, cos_sim")
+
+
 @lru_cache(maxsize=4)
 def transcript_golden_rows(
     n_convs: int = 200, seed: int = 42

@@ -743,6 +743,188 @@ def quantized_cosine_topk(
 
 
 # --------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011 / FAISS IVF-PQ) — the canonical
+# 100 TB ANN compression: a dim-D float vector becomes M uint8-range codes
+# (e.g. 768 floats = 3 KB -> 96 bytes), and query scoring needs only an
+# M x K lookup table, never the original vectors.
+# --------------------------------------------------------------------------
+
+
+def pq_training_sample(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 10_000,
+    seed: int = 42,
+    n_rows: int | None = None,
+) -> "np.ndarray":
+    """Seeded md5-threshold hash sample in id order — the SAME layout-
+    independent sample rule as :func:`train_ivf_centroids` (a storage
+    prefix is biased on sorted inputs), sized driver-side: at 100 TB you
+    train the quantizer on ~100k sampled rows, never the table."""
+    from .sampling import fraction_threshold, hash_bucket
+
+    if n_rows is None:
+        n_rows = df.count()
+    frac = min(1.0, sample_rows / max(n_rows, 1))
+    sample = (
+        df.select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .where(hash_bucket(["i"], seed) < F.lit(fraction_threshold(frac)))
+        .collect()
+    )
+    sample.sort(key=lambda r: r["i"])
+    return np.array([r["v"] for r in sample], dtype=np.float64)
+
+
+def pq_fit_codebooks(
+    x: "np.ndarray", m_subspaces: int, k_codes: int, iters: int = 5,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Train one k-means codebook PER SUBSPACE on a numpy sample — the
+    SHARED kernel (Spark path and golden replay both call this, so the
+    distributed and oracle runs quantize bit-identically).  Returns
+    (m_subspaces, k_codes, dim/m) float64."""
+    dim = x.shape[1]
+    if dim % m_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    d_sub = dim // m_subspaces
+    books = []
+    for m in range(m_subspaces):
+        sub = x[:, m * d_sub : (m + 1) * d_sub]
+        books.append(kmeans_fit(sub, min(k_codes, len(sub)), iters, seed))
+    return np.stack(books)
+
+
+def pq_encode(mat: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """Nearest-codeword index per subspace, (rows, M) int32 — the SHARED
+    encoding kernel (one small GEMM per subspace via :func:`sq_dists`)."""
+    m_sub, _, d_sub = books.shape
+    cols = []
+    for m in range(m_sub):
+        sub = mat[:, m * d_sub : (m + 1) * d_sub]
+        cols.append(nearest_lists(sub, books[m], 1)[:, 0])
+    return np.stack(cols, axis=1).astype(np.int32)
+
+
+def pq_adc_lut(query_vec: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """Asymmetric-distance lookup table: (M, K) squared distances from the
+    query's m-th subvector to every codeword — computed ONCE per query,
+    driver-side, then broadcast; scoring a row is M table lookups."""
+    m_sub, _, d_sub = books.shape
+    return np.stack(
+        [
+            sq_dists(
+                query_vec[m * d_sub : (m + 1) * d_sub][None, :], books[m]
+            )[0]
+            for m in range(m_sub)
+        ]
+    )
+
+
+def pq_adc_scores(codes: "np.ndarray", lut: "np.ndarray") -> "np.ndarray":
+    """Sum the per-subspace table entries in subspace order — the SHARED
+    scoring kernel (fixed fold order makes the float64 sum bit-equal
+    between the Spark UDF and the sequential replay)."""
+    acc = np.zeros(len(codes), dtype=np.float64)
+    for m in range(lut.shape[0]):
+        acc = acc + lut[m, codes[:, m]]
+    return acc
+
+
+def with_pq_codes(
+    df: DataFrame,
+    books: "np.ndarray",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode every row to its M subspace codes (array<int>; uint8-range
+    when k_codes <= 256) — one broadcast-codebook Arrow batch kernel, the
+    same deployment shape as the IVF assigner.  At rest/shuffle this is
+    the dim*4 -> M bytes compression that makes 10^9-vector candidate
+    joins move kilobytes per row group instead of megabytes."""
+    bc = df.sparkSession.sparkContext.broadcast(books.tobytes())
+    m_sub, k_codes, d_sub = books.shape
+    dim = m_sub * d_sub
+
+    @pandas_udf("array<int>")
+    def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        bk = np.frombuffer(bc.value, dtype=np.float64).reshape(
+            m_sub, k_codes, d_sub
+        )
+        for series in batches:
+            mat = np.array(
+                [v if v is not None else np.zeros(dim) for v in series],
+                dtype=np.float64,
+            )
+            yield pd.Series(list(pq_encode(mat, bk)))
+
+    return df.withColumn(out_col, _encode(F.col(vec_col).cast("array<double>")))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    books: "np.ndarray",
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k, optionally exact-reranked.
+
+    Scan -> encode (broadcast codebooks) -> ADC score (broadcast M x K
+    LUT, M lookups/row) -> TakeOrderedAndProject — no shuffle except the
+    bounded top-k.  With ``rerank=c`` the top-c ADC candidates (c << n)
+    join back to their full vectors (broadcast side = c rows) for exact
+    fold-order cosine, the standard IVF-PQ + re-rank recipe: ADC prunes
+    10^9 rows to c using only the 96-byte codes, exact math touches c
+    vectors.  Ordering uses the ROUNDED score on both engine and oracle
+    sides so float ties break identically (then by id)."""
+    q = np.asarray([float(v) for v in query_vec], dtype=np.float64)
+    lut = pq_adc_lut(q, books)
+    coded = with_pq_codes(df, books, vec_col=vec_col)
+    bc = df.sparkSession.sparkContext.broadcast(lut.tobytes())
+    m_sub, k_codes = lut.shape
+
+    @pandas_udf("double")
+    def _score(batches: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
+        table = np.frombuffer(bc.value, dtype=np.float64).reshape(
+            m_sub, k_codes
+        )
+        for series in batches:
+            codes = np.array(list(series), dtype=np.int64)
+            yield pd.Series(pq_adc_scores(codes, table))
+
+    scored = coded.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.round(_score(F.col("pq_code")), 6).alias("adc_dist"),
+    )
+    if rerank <= 0:
+        return (
+            scored.orderBy(F.asc("adc_dist"), F.asc(id_col))
+            .limit(k)
+            .select(id_col, "adc_dist")
+        )
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec]).cast("array<double>")
+    cand = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(rerank)
+    return (
+        cand.select(
+            id_col,
+            "adc_dist",
+            F.round(cosine(F.col("__v"), qcol), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim").isNotNull())
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
 # SemDeDup-style semantic deduplication (cluster -> within-cluster prune)
 # --------------------------------------------------------------------------
 

@@ -3077,6 +3077,30 @@ def quantized_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.quantized_cosine_topk(df, q, k=10)
 
 
+def _pq_oracle() -> str:
+    from .golden import pq_adc_golden_sql
+
+    return pq_adc_golden_sql()
+
+
+@_q("pq_adc_topk_embeddings", _pq_oracle)
+def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou 2011 / FAISS IVF-PQ recipe): train
+    M=16 per-subspace codebooks on a seeded driver-side sample, encode
+    every vector to 16 small codes (dim*4 bytes -> M bytes — at 10^9
+    vectors THE storage/shuffle compression), score with a broadcast
+    M x K asymmetric-distance LUT (M lookups per row, no vector math),
+    exact-cosine re-rank of the top-50 ADC candidates.  Shared numpy
+    kernels make the distributed run and the sequential golden replay
+    quantize bit-identically."""
+    df = _read(spark, sf_dir, "embeddings")
+    q = [float(x) for x in df.where(F.col("vec_id") == 0).first()["embedding"]]
+    books = SIM.pq_fit_codebooks(
+        SIM.pq_training_sample(df, dim=64, n_rows=df.count()),
+        m_subspaces=16,
+        k_codes=32,
+    )
+    return SIM.pq_adc_topk(df, books, q, k=10, rerank=50)
 
 
 _SESSIONIZE_SQL = """
@@ -3230,6 +3254,7 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: untouched.
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "pq_adc_topk_embeddings",
     "dsir_log_weights",
     "dsir_selected_docs",
     "top_ngram_heavy_hitters",

@@ -274,3 +274,55 @@ def test_quantization_error_bound(spark):
         assert qx == float(math.floor(x / s + 0.5))
         assert abs(qx * s - x) <= s / 2 + 1e-12  # half-step error bound
     assert quantize_query([0.0, 0.0]) == [0.0, 0.0]
+
+
+def test_pq_encode_decode_error_bounded_and_deterministic(emb):
+    """PQ codebooks reconstruct within quantization error; encoding is
+    deterministic across calls (seeded sample + seeded k-means)."""
+    x = S.pq_training_sample(emb, dim=64, n_rows=emb.count())
+    books = S.pq_fit_codebooks(x, m_subspaces=8, k_codes=16)
+    books2 = S.pq_fit_codebooks(x, m_subspaces=8, k_codes=16)
+    assert np.array_equal(books, books2)
+    codes = S.pq_encode(x, books)
+    assert codes.shape == (len(x), 8)
+    assert codes.min() >= 0 and codes.max() < 16
+    # reconstruction MSE strictly below the trivial (all-zeros) quantizer
+    recon = np.concatenate(
+        [books[m][codes[:, m]] for m in range(8)], axis=1
+    )
+    assert ((x - recon) ** 2).mean() < (x**2).mean() * 0.9
+
+
+def test_pq_adc_matches_decomposed_distance(emb):
+    """ADC score == sum of per-subspace squared distances to the chosen
+    codewords (the LUT path computes exactly the decomposed distance)."""
+    x = S.pq_training_sample(emb, dim=64, n_rows=emb.count())
+    books = S.pq_fit_codebooks(x, m_subspaces=8, k_codes=16)
+    q = x[3]
+    codes = S.pq_encode(x[:50], books)
+    adc = S.pq_adc_scores(codes, S.pq_adc_lut(q, books))
+    d_sub = 8
+    for row in range(0, 50, 7):
+        manual = 0.0
+        for m in range(8):
+            cw = books[m][codes[row, m]]
+            qs = q[m * d_sub : (m + 1) * d_sub]
+            manual += float(((qs - cw) ** 2).sum())
+        assert adc[row] == pytest.approx(manual, rel=1e-9)
+
+
+def test_pq_adc_topk_recall_vs_exact(emb):
+    """PQ ADC + exact re-rank recovers most of the true top-10 (64-dim,
+    8x16 codebooks keep plenty of signal), and the Spark path agrees with
+    the driver-side kernels on the candidate set."""
+    q = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    books = S.pq_fit_codebooks(
+        S.pq_training_sample(emb, dim=64, n_rows=emb.count()),
+        m_subspaces=16,
+        k_codes=32,
+    )
+    got = S.pq_adc_topk(emb, books, q, k=10, rerank=50).collect()
+    assert len(got) == 10
+    assert got[0]["vec_id"] == 0 and got[0]["cos_sim"] == pytest.approx(1.0)
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()}
+    assert len({r["vec_id"] for r in got} & exact) >= 7
