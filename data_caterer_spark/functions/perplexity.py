@@ -49,3 +49,36 @@ def with_perplexity(
 ) -> DataFrame:
     udf = perplexity_udf(df.sparkSession, model)
     return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+def with_ppl_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    ppl_col: str = "ppl",
+    lang_col: str = "lang",
+    out_col: str = "ppl_bucket",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style per-language perplexity partitioning (Wenzek et al.
+    2020): rank documents within each language by LM perplexity and cut
+    into equal-count buckets — bucket 1 = "head" (most fluent), last =
+    "tail".  CCNet trains on head+middle and drops/downsamples tail.
+
+    Exact NTILE over a per-language window: one exchange on lang + a
+    per-partition sort.  Language counts are zipfian (en-heavy), so at
+    100 TB the head language's sort dominates; the production swap-point
+    is two passes — approx percentile cutpoints per language (a tiny
+    aggregate), then a stateless bucket-by-comparison scan — trading
+    exact equal counts for no global sort.  The window form here defines
+    the exact semantics the oracle checks; ordering ties break by id so
+    both engines cut identically."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy(F.asc(ppl_col), F.asc(id_col))
+    names = {1: "head", n_buckets: "tail"}
+    t = F.ntile(n_buckets).over(w)
+    label = F.when(t == 1, "head")
+    for b in range(2, n_buckets):
+        label = label.when(t == b, names.get(b, "middle"))
+    label = label.otherwise("tail") if n_buckets > 1 else F.lit("head")
+    return df.withColumn(out_col, label)

@@ -1084,6 +1084,44 @@ def perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_perplexity(df).select("doc_id", F.round("ppl", 2).alias("ppl"))
 
 
+def _ppl_buckets_oracle() -> str:
+    from .golden import perplexity_golden_sql
+
+    return f"""
+    WITH p AS ({perplexity_golden_sql()}),
+    j AS (
+      SELECT d.doc_id, d.lang, p.ppl
+      FROM documents d JOIN p ON p.doc_id = d.doc_id
+    ),
+    b AS (
+      SELECT doc_id, lang, ppl,
+             ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS t
+      FROM j
+    )
+    SELECT doc_id, lang, ppl,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS ppl_bucket
+    FROM b
+    """
+
+
+@_q("perplexity_buckets", _ppl_buckets_oracle)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail data partitioning: per-language perplexity
+    terciles (train on head+middle, drop/downsample tail — Wenzek 2020).
+    One Arrow crossing for the LM scores, one lang-keyed window; ordering
+    uses the ROUNDED ppl + doc_id so both engines cut ties identically.
+    Scale swap-point (approx cutpoints, no per-lang sort) documented in
+    functions/perplexity.py."""
+    from .functions.perplexity import with_ppl_buckets, with_perplexity
+
+    df = _fan_out(_read(spark, sf_dir, "documents"))
+    scored = with_perplexity(df).select(
+        "doc_id", "lang", F.round("ppl", 2).alias("ppl")
+    )
+    return with_ppl_buckets(scored).select("doc_id", "lang", "ppl", "ppl_bucket")
+
+
 def _minhash_golden_oracle() -> str:
     from .golden import minhash_golden_sql
 
@@ -3255,6 +3293,7 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
     "pq_adc_topk_embeddings",
+    "perplexity_buckets",
     "dsir_log_weights",
     "dsir_selected_docs",
     "top_ngram_heavy_hitters",
