@@ -488,6 +488,35 @@ def transcript_golden_rows(
     return tuple(out)
 
 
+def chat_export_golden_sql(n_convs: int = 200, seed: int = 42) -> str:
+    """Sequential replay of the chat-jsonl export: label every turn with
+    the reference labeler, keep (keep AND scrubbed_text non-null) turns
+    in turn order, render each conversation with the SAME Jackson-twin
+    escaper (functions/chatfmt.py), md5 the bytes."""
+    from .fixtures import generate_transcripts
+    from .functions.chatfmt import py_chat_json
+    from .labeler import ReferenceLabeler
+
+    rows = generate_transcripts(n_convs=n_convs, seed=seed)
+    roles = {(r["conv_id"], r["turn_idx"]): r["role"] for r in rows}
+    convs: dict[str, list[tuple[int, str, str]]] = {}
+    for t in ReferenceLabeler().label_rows(rows):
+        if t.keep and t.scrubbed_text is not None:
+            convs.setdefault(t.conv_id, []).append(
+                (t.turn_idx, roles[(t.conv_id, t.turn_idx)], t.scrubbed_text)
+            )
+    vals = []
+    for conv_id in sorted(convs):
+        msgs = sorted(convs[conv_id])
+        digest = hashlib.md5(
+            py_chat_json([(r, c) for _, r, c in msgs]).encode("utf-8")
+        ).hexdigest()
+        vals.append(
+            f"('{conv_id}', CAST({len(msgs)} AS INTEGER), '{digest}')"
+        )
+    return _values_sql(vals, "conv_id, n_msgs, chat_md5")
+
+
 def transcript_golden_sql(n_convs: int = 200, seed: int = 42) -> str:
     """The golden rows as one ``SELECT ... FROM (VALUES ...)`` statement.
 

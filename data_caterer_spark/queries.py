@@ -1122,6 +1122,32 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_ppl_buckets(scored).select("doc_id", "lang", "ppl", "ppl_bucket")
 
 
+def _chat_export_oracle() -> str:
+    from .golden import chat_export_golden_sql
+
+    return chat_export_golden_sql()
+
+
+@_q("chat_jsonl_export", _chat_export_oracle)
+def chat_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-export deliverable: run the flagship quality filter,
+    keep surviving turns, render each conversation as one chat-format
+    JSON document ({"messages":[{role,content},...]}, the chat-jsonl
+    convention) — pure Catalyst collect_list/array_sort/to_json, ONE
+    groupBy shuffle of kept turns, byte-compared (md5) against the
+    sequential Jackson-twin renderer."""
+    from .fixtures import generate_transcripts_df
+    from .functions.chatfmt import export_chat_jsonl
+    from .plans.pipeline import QualityFilterPipeline
+
+    df = generate_transcripts_df(spark, n_convs=200, num_partitions=8)
+    out = QualityFilterPipeline().run(df)
+    kept = out.where(F.col("keep") & F.col("scrubbed_text").isNotNull())
+    return export_chat_jsonl(kept).select(
+        "conv_id", "n_msgs", F.md5("chat_json").alias("chat_md5")
+    )
+
+
 def _minhash_golden_oracle() -> str:
     from .golden import minhash_golden_sql
 
@@ -3294,6 +3320,7 @@ _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
     "pq_adc_topk_embeddings",
     "perplexity_buckets",
+    "chat_jsonl_export",
     "dsir_log_weights",
     "dsir_selected_docs",
     "top_ngram_heavy_hitters",

@@ -86,3 +86,30 @@ def test_document_features_single_projection(table):
     # no shuffle in the plan: features are projection-only
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chat_json_byte_equality_vs_python_twin(spark):
+    """Spark to_json output must be BYTE-equal to the sequential Jackson
+    twin (py_chat_json) — incl. \\n, \\t, quotes, and non-ASCII text."""
+    from data_caterer_spark.functions.chatfmt import (
+        export_chat_jsonl,
+        py_chat_json,
+    )
+
+    rows = [
+        ("C1", 0, "user", 'say "hi"\n\tplease — ñoño'),
+        ("C1", 1, "assistant", "ok \\ done \x07bell"),
+        ("C2", 0, "user", "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, scrubbed_text string"
+    )
+    got = {
+        r["conv_id"]: r["chat_json"]
+        for r in export_chat_jsonl(df).collect()
+    }
+    by_conv = {}
+    for conv, _, role, text in rows:
+        by_conv.setdefault(conv, []).append((role, text))
+    for conv, msgs in by_conv.items():
+        assert got[conv] == py_chat_json(msgs), conv
