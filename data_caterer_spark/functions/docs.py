@@ -14,6 +14,7 @@ rule evaluation JVM-side).  Components:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -131,4 +132,53 @@ def document_features(
             "quality": quality_score(text_col),
             "fingerprint": T.fingerprint(text_col),
         }
+    )
+
+
+def compression_len_udf():
+    """DEFLATE length per document — the compression-ratio quality signal
+    (Gopher/RedPajama use it as a repetition proxy: boilerplate and
+    looped text compress far below prose).  Arrow-batched pandas UDF
+    (zlib is C-side; the Python loop is per-document, not per-byte);
+    level fixed at 6 so the byte count is deterministic for a given
+    zlib, which makes the sequential replay exact."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _comp_len(series: pd.Series) -> pd.Series:
+        return series.map(
+            lambda t: None
+            if t is None
+            else len(zlib.compress(t.encode("utf-8"), 6))
+        )
+
+    return _comp_len
+
+
+def py_compression_ratio(text: str) -> "tuple[int, int, float]":
+    """Sequential twin: (raw_bytes, comp_bytes, ratio) for the replay."""
+    import zlib
+
+    raw = text.encode("utf-8")
+    comp = len(zlib.compress(raw, 6))
+    return len(raw), comp, comp / len(raw)
+
+
+def with_compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    repetitive_below: float = 0.4,
+) -> DataFrame:
+    """Adds raw_bytes / comp_bytes / comp_ratio / flag_repetitive.  Only
+    ``comp_bytes`` crosses the Arrow boundary; byte length and the ratio
+    stay JVM-side (octet_length, not length — multi-byte UTF-8)."""
+    c = F.col(text_col)
+    out = df.withColumn("raw_bytes", F.octet_length(c)).withColumn(
+        "comp_bytes", compression_len_udf()(c)
+    )
+    ratio = F.col("comp_bytes").cast("double") / F.col("raw_bytes")
+    return out.withColumn("comp_ratio", F.round(ratio, 6)).withColumn(
+        "flag_repetitive", ratio < F.lit(repetitive_below)
     )

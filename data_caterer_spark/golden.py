@@ -488,6 +488,29 @@ def transcript_golden_rows(
     return tuple(out)
 
 
+def compression_golden_sql(
+    sf_dir: str | None = None, repetitive_below: float = 0.4
+) -> str:
+    """Sequential replay of the DEFLATE compression-ratio signal (same
+    zlib level-6 kernel, py_compression_ratio)."""
+    from .functions.docs import py_compression_ratio
+
+    rows = []
+    for doc_id, text in _documents(sf_dir or _oracle_sf_dir()):
+        if text is None or len(text.encode("utf-8")) == 0:
+            continue
+        raw, comp, ratio = py_compression_ratio(text)
+        rows.append(
+            f"(CAST({doc_id} AS BIGINT), CAST({raw} AS INTEGER), "
+            f"CAST({comp} AS INTEGER), "
+            f"CAST('{_spark_round(ratio, 6)!r}' AS DOUBLE), "
+            f"{'TRUE' if ratio < repetitive_below else 'FALSE'})"
+        )
+    return _values_sql(
+        rows, "doc_id, raw_bytes, comp_bytes, comp_ratio, flag_repetitive"
+    )
+
+
 def chat_export_golden_sql(n_convs: int = 200, seed: int = 42) -> str:
     """Sequential replay of the chat-jsonl export: label every turn with
     the reference labeler, keep (keep AND scrubbed_text non-null) turns

@@ -119,6 +119,43 @@ def drop_exact_duplicates(
     )
 
 
+def incremental_ingest_decisions(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental corpus ingestion: classify every incoming document as
+    ``new`` / ``dup_in_batch`` (a smaller id in the same batch has the
+    same normalized text) / ``dup_of_corpus`` (the standing corpus
+    already holds it) — the production shape where dedup runs per
+    arriving crawl snapshot against a persisted fingerprint index, never
+    re-scanning the corpus text.
+
+    Plan: both sides reduce to fingerprint keys immediately (the corpus
+    contributes a DISTINCT hash index — at 100 TB that index is a
+    bucketed table maintained across ingests, so the probe is a
+    co-located join with NO corpus scan); the batch resolves first-
+    occurrence via one combinable min-id aggregate.  Only ids and 8-byte
+    hashes shuffle.
+    """
+    fp = F.xxhash64(normalized_text(text_col))
+    corpus_idx = corpus.select(fp.alias("__fp")).distinct()
+    b = batch.select(F.col(id_col), fp.alias("__fp"))
+    first = b.groupBy("__fp").agg(F.min(id_col).alias("__first_id"))
+    return (
+        b.join(first, "__fp")
+        .join(corpus_idx.withColumn("__in_corpus", F.lit(True)), "__fp", "left")
+        .select(
+            id_col,
+            F.when(F.col("__in_corpus").isNotNull(), "dup_of_corpus")
+            .when(F.col(id_col) != F.col("__first_id"), "dup_in_batch")
+            .otherwise("new")
+            .alias("decision"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard (inverted-index self-join)
 # --------------------------------------------------------------------------

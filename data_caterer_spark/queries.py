@@ -919,6 +919,38 @@ def drop_exact_dups_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.drop_exact_duplicates(df).agg(F.count(F.lit(1)).alias("kept"))
 
 
+@_q(
+    "incremental_ingest_decisions",
+    f"""
+    WITH corpus AS (
+      SELECT DISTINCT {_NORM_SQL} AS k FROM documents WHERE doc_id < 250
+    ),
+    b AS (
+      SELECT doc_id, {_NORM_SQL} AS k FROM documents WHERE doc_id >= 250
+    ),
+    firsts AS (SELECT k, min(doc_id) AS first_id FROM b GROUP BY k)
+    SELECT b.doc_id,
+           CASE WHEN c.k IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
+                ELSE 'new' END AS decision
+    FROM b
+    JOIN firsts f ON b.k IS NOT DISTINCT FROM f.k
+    LEFT JOIN corpus c ON b.k IS NOT DISTINCT FROM c.k
+    """,
+)
+def incremental_ingest_decisions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-snapshot incremental ingestion against a standing corpus:
+    classify each incoming doc new / dup_in_batch / dup_of_corpus using
+    only 8-byte fingerprints (the corpus side is the persisted DISTINCT
+    hash index a production ingest maintains as a bucketed table)."""
+    docs = _read(spark, sf_dir, "documents")
+    return D.incremental_ingest_decisions(
+        docs.where(F.col("doc_id") < 250), docs.where(F.col("doc_id") >= 250)
+    )
+
+
 _SHINGLES_SQL = f"""
   SELECT doc_id,
          CASE WHEN len({_TOKS_SQL}) >= 3 THEN
@@ -1120,6 +1152,28 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.round("ppl", 2).alias("ppl")
     )
     return with_ppl_buckets(scored).select("doc_id", "lang", "ppl", "ppl_bucket")
+
+
+def _compression_oracle() -> str:
+    from .golden import compression_golden_sql
+
+    return compression_golden_sql()
+
+
+@_q("compression_ratio_signal", _compression_oracle)
+def compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE compression ratio as a repetition/boilerplate quality
+    signal (Gopher-style): highly compressible text is looped or
+    templated.  One Arrow crossing carries only the compressed byte
+    COUNT; byte lengths and the ratio stay JVM-side."""
+    docs = _fan_out(
+        _read(spark, sf_dir, "documents").where(
+            F.col("text").isNotNull() & (F.octet_length("text") > 0)
+        )
+    )
+    return DOC.with_compression_ratio(docs).select(
+        "doc_id", "raw_bytes", "comp_bytes", "comp_ratio", "flag_repetitive"
+    )
 
 
 def _chat_export_oracle() -> str:
@@ -3321,6 +3375,8 @@ _DRIVER_PRIORITY = [
     "pq_adc_topk_embeddings",
     "perplexity_buckets",
     "chat_jsonl_export",
+    "compression_ratio_signal",
+    "incremental_ingest_decisions",
     "dsir_log_weights",
     "dsir_selected_docs",
     "top_ngram_heavy_hitters",
