@@ -400,3 +400,40 @@ def train_sequential(
     return QualityClassifier(
         w, bias, n_features, include_bigrams, tuple(history)
     )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    label: Column,
+    thresholds_fixed: "list[int]",
+    score_col: str = "score_fixed",
+) -> DataFrame:
+    """Calibration sweep: confusion counts + precision/recall at each
+    decision threshold (nano-unit fixed-point, so every comparison is
+    integer-exact).  One narrow explode (x|T| rows of three ints) feeding
+    ONE combinable aggregate — at 10^12 docs the map-side combiner
+    reduces to |T| rows before the shuffle, so the sweep costs a single
+    pass regardless of threshold count."""
+    y = label.cast("int")
+    t = F.explode(
+        F.array(*[F.lit(int(v)).cast("long") for v in thresholds_fixed])
+    ).alias("thr_fixed")
+    s = F.col(score_col)
+    rows = scored.select(s.alias("__s"), y.alias("__y"), t)
+    pred = (F.col("__s") >= F.col("thr_fixed")).cast("int")
+    agg = rows.groupBy("thr_fixed").agg(
+        F.sum(pred * F.col("__y")).alias("tp"),
+        F.sum(pred * (1 - F.col("__y"))).alias("fp"),
+        F.sum((1 - pred) * F.col("__y")).alias("fn"),
+        F.sum((1 - pred) * (1 - F.col("__y"))).alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return agg.select(
+        "thr_fixed",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(tp + fp > 0, F.round(tp / (tp + fp), 6)).alias("precision"),
+        F.when(tp + fn > 0, F.round(tp / (tp + fn), 6)).alias("recall"),
+    )

@@ -488,6 +488,28 @@ def transcript_golden_rows(
     return tuple(out)
 
 
+def role_transitions_golden_sql(n_convs: int = 200, seed: int = 42) -> str:
+    """Sequential count of (prev role -> role) transitions over the
+    transcripts fixture, conversation starts entering from 'START'."""
+    from .fixtures import generate_transcripts
+
+    rows = generate_transcripts(n_convs=n_convs, seed=seed)
+    convs: dict[str, list[tuple[int, str]]] = {}
+    for r in rows:
+        convs.setdefault(r["conv_id"], []).append((r["turn_idx"], r["role"]))
+    counts: dict[tuple[str, str], int] = {}
+    for turns in convs.values():
+        prev = "START"
+        for _, role in sorted(turns):
+            counts[(prev, role)] = counts.get((prev, role), 0) + 1
+            prev = role
+    vals = [
+        f"('{a}', '{b}', CAST({n} AS BIGINT))"
+        for (a, b), n in sorted(counts.items())
+    ]
+    return _values_sql(vals, "role_from, role_to, n")
+
+
 def compression_golden_sql(
     sf_dir: str | None = None, repetitive_below: float = 0.4
 ) -> str:

@@ -1147,3 +1147,52 @@ def semantic_dedup_drops(
     return comps.where(F.col("id") != F.col("rep")).select(
         F.col("id").alias(id_col)
     )
+
+
+def hard_negative_pairs(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the k
+    most-similar vectors with a DIFFERENT label (the negatives a random
+    sampler never finds).  Exact form: slim (id, label, vec, norm)
+    projection — norms precomputed per row, never per pair — theta-join
+    on label mismatch, cosine, per-anchor top-k window on the ROUNDED
+    score.  This bounded-slice exact form defines the semantics; the
+    100 TB path swaps the pair source for ANN candidates (LSH buckets /
+    IVF lists / PQ-ADC shortlists, all above) filtered on label
+    mismatch, identical scoring."""
+    v = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("lbl"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("n", l2_norm(F.col("v")))
+        .where(F.col("n") > 0)
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.id") != F.col("b.id")) & (F.col("a.lbl") != F.col("b.lbl")),
+    ).select(
+        F.col("a.id").alias("anchor_id"),
+        F.col("b.id").alias("negative_id"),
+        F.round(
+            cosine_given_norms(
+                F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", "cos_sim", "rank")
+    )

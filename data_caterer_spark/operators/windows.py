@@ -303,3 +303,24 @@ def sliding_chunks(
             F.array_join("__chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def role_transition_counts(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Corpus-wide dialogue-structure profile: counts of (previous role ->
+    role) transitions, conversation starts entering from 'START'.  One
+    conv-keyed window (the same exchange every per-conversation op
+    shares) then a combinable groupBy — the aggregate that surfaces
+    malformed agent traces (assistant->assistant runs, tool turns with
+    no assistant call) at corpus scale."""
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    prev = F.coalesce(F.lag(role_col).over(w), F.lit("START"))
+    return (
+        df.select(prev.alias("role_from"), F.col(role_col).alias("role_to"))
+        .groupBy("role_from", "role_to")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

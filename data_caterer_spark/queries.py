@@ -1154,6 +1154,116 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_ppl_buckets(scored).select("doc_id", "lang", "ppl", "ppl_bucket")
 
 
+#: calibration thresholds: probabilities 0.1..0.9 in nano-unit fixed point
+_SWEEP_THRESHOLDS = [i * 100_000_000 for i in range(1, 10)]
+
+
+def _sweep_oracle() -> str:
+    from .golden import quality_classifier_golden_sql
+
+    thr = ", ".join(str(t) for t in _SWEEP_THRESHOLDS)
+    return f"""
+    WITH s AS ({quality_classifier_golden_sql()}),
+    y AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    j AS (SELECT s.score_fixed, y.y FROM s JOIN y USING (doc_id)),
+    t AS (SELECT unnest([{thr}]) AS thr_fixed),
+    c AS (
+      SELECT thr_fixed,
+             SUM(CASE WHEN score_fixed >= thr_fixed AND y = 1 THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN score_fixed >= thr_fixed AND y = 0 THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN score_fixed <  thr_fixed AND y = 1 THEN 1 ELSE 0 END) AS fn,
+             SUM(CASE WHEN score_fixed <  thr_fixed AND y = 0 THEN 1 ELSE 0 END) AS tn
+      FROM j CROSS JOIN t GROUP BY thr_fixed
+    )
+    SELECT CAST(thr_fixed AS BIGINT) AS thr_fixed,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CASE WHEN tp + fp > 0
+                THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+    FROM c
+    """
+
+
+@_q("classifier_threshold_sweep", _sweep_oracle)
+def classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier calibration: confusion counts + precision/
+    recall at nine fixed-point probability thresholds in ONE combinable
+    pass (narrow explode, map-side combine to |T| rows).  Integer-exact
+    comparisons because scores are nano-unit int64."""
+    from .functions import classifier as CLS
+
+    docs = _fan_out(_read(spark, sf_dir, "documents"))
+    model = CLS.train(
+        docs, F.col("lang") == "en", n_features=1024, iters=6, lr=0.5
+    )
+    scored = CLS.infer(docs, model).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("__lbl")),
+        "doc_id",
+    )
+    return CLS.threshold_sweep(
+        scored, F.col("__lbl"), _SWEEP_THRESHOLDS
+    ).orderBy("thr_fixed")
+
+
+@_q(
+    "hard_negative_mining",
+    """
+    WITH v AS (
+      SELECT vec_id AS id, label AS lbl, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS n
+      FROM embeddings WHERE vec_id < 300
+    ),
+    p AS (
+      SELECT a.id AS anchor_id, b.id AS negative_id,
+             round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos_sim
+      FROM v a JOIN v b ON a.id <> b.id AND a.lbl <> b.lbl
+      WHERE a.n > 0 AND b.n > 0
+    ),
+    r AS (
+      SELECT anchor_id, negative_id, cos_sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cos_sim DESC, negative_id) AS rank
+      FROM p
+    )
+    SELECT anchor_id, negative_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: per anchor, the 5 most-similar
+    DIFFERENT-label vectors (exact on a bounded slice; the 100 TB path
+    feeds the same scorer from ANN candidate lists — see
+    operators/similarity.py hard_negative_pairs)."""
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return SIM.hard_negative_pairs(emb, k=5)
+
+
+def _role_transitions_oracle() -> str:
+    from .golden import role_transitions_golden_sql
+
+    return role_transitions_golden_sql()
+
+
+@_q("role_transition_counts", _role_transitions_oracle)
+def role_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-structure profile of the transcripts corpus: (prev role ->
+    role) transition counts via one conv-keyed window + combinable
+    groupBy — the corpus-level view of the pipeline's role/tool
+    consistency rules (malformed agent traces surface as impossible
+    transitions)."""
+    from .fixtures import generate_transcripts_df
+    from .operators.windows import role_transition_counts as rtc
+
+    df = generate_transcripts_df(spark, n_convs=200, num_partitions=8)
+    return rtc(df).orderBy("role_from", "role_to")
+
+
 def _compression_oracle() -> str:
     from .golden import compression_golden_sql
 
@@ -3377,6 +3487,9 @@ _DRIVER_PRIORITY = [
     "chat_jsonl_export",
     "compression_ratio_signal",
     "incremental_ingest_decisions",
+    "classifier_threshold_sweep",
+    "hard_negative_mining",
+    "role_transition_counts",
     "dsir_log_weights",
     "dsir_selected_docs",
     "top_ngram_heavy_hitters",
