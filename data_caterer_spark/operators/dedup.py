@@ -1034,3 +1034,35 @@ def winnowing_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
+
+
+def cluster_representatives(
+    labels: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor per near-dup cluster: keep the member with
+    the highest ``quality_col`` (ties -> smallest id) — the RefinedWeb-
+    style keep-longest policy, instead of blind min-id.  One join of the
+    (id, cluster) labels to the per-doc quality column and one
+    combinable struct-max per cluster: ``max(struct(quality, -id))``
+    needs no window and shuffles |labels| slim rows once."""
+    j = labels.join(
+        docs.select(F.col(id_col).alias("id"), F.col(quality_col).alias("q")),
+        "id",
+    )
+    best = F.max(F.struct(F.col("q"), (-F.col("id")).alias("negid")))
+    return (
+        j.groupBy("cluster")
+        .agg(
+            best.alias("__b"),
+            F.count(F.lit(1)).alias("members"),
+        )
+        .select(
+            "cluster",
+            (-F.col("__b.negid")).alias("rep_id"),
+            F.col("__b.q").alias("rep_quality"),
+            "members",
+        )
+    )

@@ -145,3 +145,62 @@ def stratified_hash_sample(
             F.col(stratum_col) == value, F.lit(fraction_threshold(frac))
         ).otherwise(thr)
     return df.where(hash_bucket(key_cols, seed) < thr)
+
+
+def mix_plan(
+    df: DataFrame,
+    budget_tokens: int,
+    weights: "dict[str, int] | None" = None,
+    max_epochs: int = 2,
+    stratum_col: str = "source",
+    token_count_col: "Column | None" = None,
+) -> DataFrame:
+    """Training-data recipe planner: given a total token budget and target
+    mix weights (parts; uniform when None), compute each source's planned
+    token allocation, capped at ``max_epochs`` passes over what the
+    source actually has (the Chinchilla/LLaMA-style repeat cap).
+
+    ONE tiny combinable aggregate (|sources| rows) then driver-free
+    integer arithmetic in the projection: ``target = budget * w / W``
+    (integer div), ``planned = least(target, max_epochs * available)``,
+    ``fill_ratio = planned / target``.  Everything cross-row is int64, so
+    the plan is exact on any cluster size — floats appear only in the
+    final rounded ratio."""
+    from pyspark.sql import functions as F
+
+    from ..functions import text as T
+
+    tok = (
+        token_count_col
+        if token_count_col is not None
+        else T.token_count("text")
+    )
+    counts = df.groupBy(stratum_col).agg(
+        F.sum(tok).cast("long").alias("tokens")
+    )
+    if weights is None:
+        w_col, total_w = F.lit(1).cast("long"), None
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv]
+        )
+        w_col, total_w = mapping[F.col(stratum_col)].cast("long"), sum(
+            weights.values()
+        )
+    counts = counts.withColumn("__w", w_col)
+    if total_w is None:
+        # uniform: W = number of strata (tiny cross-row count)
+        total = counts.agg(F.count(F.lit(1))).collect()[0][0]
+    else:
+        total = total_w
+    target = F.expr(f"{int(budget_tokens)} * __w div {int(total)}")
+    planned = F.least(target, F.lit(int(max_epochs)) * F.col("tokens"))
+    return counts.select(
+        stratum_col,
+        "tokens",
+        target.cast("long").alias("target_tokens"),
+        planned.cast("long").alias("planned_tokens"),
+        F.round(
+            planned.cast("double") / target.cast("double"), 6
+        ).alias("fill_ratio"),
+    )

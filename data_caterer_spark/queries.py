@@ -2258,6 +2258,78 @@ def neardup_drop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.agg(F.count(F.lit(1)).alias("kept"))
 
 
+@_q(
+    "neardup_quality_reps",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+    posts AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh WHERE len(s) > 0),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / CAST(any_value(a.sz) + any_value(b.sz) - count(*) AS DOUBLE) >= 0.6
+    ),
+    edges(a, b) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+    j AS (
+      SELECT l.id, l.cluster, d.n_chars
+      FROM labels l JOIN documents d ON d.doc_id = l.id
+    ),
+    r AS (
+      SELECT cluster, id, n_chars,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n_chars DESC, id ASC) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS members
+      FROM j
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster, CAST(id AS BIGINT) AS rep_id,
+           CAST(n_chars AS BIGINT) AS rep_quality,
+           CAST(members AS BIGINT) AS members
+    FROM r WHERE rn = 1
+    """,
+)
+def neardup_quality_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: per near-dup cluster keep
+    the LONGEST member (RefinedWeb keep-best policy) instead of blind
+    min-id — one slim join + one combinable struct-max per cluster, no
+    window (operators/dedup.py cluster_representatives)."""
+    docs = _fan_out(_read(spark, sf_dir, "documents"))
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.6, max_block=1000)
+    labels = D.connected_components(pairs)
+    return D.cluster_representatives(labels, docs)
+
+
+@_q(
+    "mix_plan_tokens",
+    f"""
+    WITH c AS (
+      SELECT source, CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (SELECT count(*) AS total FROM c)
+    SELECT source, tokens,
+           CAST(30000 // w.total AS BIGINT) AS target_tokens,
+           CAST(least(30000 // w.total, 2 * tokens) AS BIGINT)
+             AS planned_tokens,
+           round(CAST(least(30000 // w.total, 2 * tokens) AS DOUBLE)
+                 / CAST(30000 // w.total AS DOUBLE), 6) AS fill_ratio
+    FROM c, w
+    """,
+)
+def mix_plan_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix recipe: per-source token allocation against a 30k
+    budget with a 2-epoch repeat cap (Chinchilla/LLaMA practice) — one
+    tiny combinable aggregate, integer arithmetic throughout
+    (operators/sampling.py mix_plan)."""
+    docs = _read(spark, sf_dir, "documents")
+    return SAMP.mix_plan(docs, budget_tokens=30_000, max_epochs=2)
+
+
 # --------------------------------------------------------------------------
 # streaming (driver-visible): availableNow one-shot over the deterministic
 # fixture, memory sink, hash-compared against the sequential labeler
@@ -3490,6 +3562,8 @@ _DRIVER_PRIORITY = [
     "classifier_threshold_sweep",
     "hard_negative_mining",
     "role_transition_counts",
+    "neardup_quality_reps",
+    "mix_plan_tokens",
     "dsir_log_weights",
     "dsir_selected_docs",
     "top_ngram_heavy_hitters",
