@@ -66,3 +66,35 @@ def with_language(
             f"{out_prefix}lang_score": F.col(f"{tmp}.lang_score"),
         }
     ).drop(tmp)
+
+
+def langid_margin_udf(spark: SparkSession, model: LangIdModel | None = None):
+    """``text -> struct<lang, lang_margin>`` iterator pandas UDF: the
+    top1-top2 log-prob margin is the language-ID CONFIDENCE (CCNet gates
+    on it — a small margin means mixed/ambiguous text)."""
+    model = model or default_model()
+    bc = spark.sparkContext.broadcast(model.to_bytes())
+
+    @pandas_udf("lang string, lang_margin double")
+    def _margin(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        local = LangIdModel.from_bytes(bc.value)  # once per worker task
+        for series in batches:
+            langs, margins = local.predict_margin(
+                [None if pd.isna(t) else t for t in series]
+            )
+            yield pd.DataFrame({"lang": langs, "lang_margin": margins})
+
+    return _margin
+
+
+def with_language_margin(
+    df: DataFrame,
+    text_col: str = "text",
+    model: LangIdModel | None = None,
+) -> DataFrame:
+    """Add ``lang`` + ``lang_margin`` (one Arrow round-trip)."""
+    udf = langid_margin_udf(df.sparkSession, model)
+    out = df.withColumn("__lm", udf(F.col(text_col)))
+    return out.withColumns(
+        {"lang_pred": F.col("__lm.lang"), "lang_margin": F.col("__lm.lang_margin")}
+    ).drop("__lm")

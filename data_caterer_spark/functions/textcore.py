@@ -318,6 +318,57 @@ class LangIdModel:
         return langs, scores
 
 
+    def predict_margin_one(self, text: str | None) -> tuple[str, float]:
+        """(lang, top1 - top2 margin) — the language-ID CONFIDENCE gate
+        (CCNet drops low-margin docs: two close profiles mean the text is
+        mixed/ambiguous).  'und' rows get margin 0.0."""
+        if text is None:
+            return "und", 0.0
+        idx = _hash_ngrams(_langid_clean(text), buckets=LANGID_BUCKETS)
+        if idx.size < self.min_grams:
+            return "und", 0.0
+        scores = self.profiles[:, idx.astype(np.int64)].mean(axis=1)
+        best = int(np.argmax(scores))
+        others = np.delete(scores, best)
+        return self.langs[best], float(scores[best] - others.max())
+
+    def predict_margin(
+        self, texts: list[str | None]
+    ) -> tuple[list[str], list[float]]:
+        """Batch margins, bit-identical per row to ``predict_margin_one``
+        (same grouped gather as ``predict``; the margin is a difference
+        of two entries of the same per-row score vector, so grouping
+        cannot change it)."""
+        n = len(texts)
+        langs: list[str] = ["und"] * n
+        margins: list[float] = [0.0] * n
+        present = [
+            (j, _langid_clean(t)) for j, t in enumerate(texts) if t is not None
+        ]
+        hashed = _hash_ngrams_batch(
+            [c for _j, c in present], buckets=LANGID_BUCKETS
+        )
+        groups: dict[int, list[tuple[int, np.ndarray]]] = {}
+        for (j, _c), idx in zip(present, hashed):
+            if idx.size < self.min_grams:
+                continue
+            groups.setdefault(idx.size, []).append((j, idx))
+        for g, items in groups.items():
+            mat = np.empty((len(items), g), dtype=np.int64)
+            for row, (_j, idx) in enumerate(items):
+                mat[row] = idx.astype(np.int64)
+            sc = self.profiles[:, mat].mean(axis=2)  # [n_langs, K]
+            best = sc.argmax(axis=0)
+            masked = sc.copy()
+            masked[best, np.arange(sc.shape[1])] = -np.inf
+            second = masked.max(axis=0)
+            for col, (j, _idx) in enumerate(items):
+                b = int(best[col])
+                langs[j] = self.langs[b]
+                margins[j] = float(sc[b, col] - second[col])
+        return langs, margins
+
+
 # --------------------------------------------------------------------------
 # perplexity — hashed char-trigram LM (KenLM-style stand-in)
 # --------------------------------------------------------------------------

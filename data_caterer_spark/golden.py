@@ -72,6 +72,25 @@ def langid_golden_sql(sf_dir: str | None = None) -> str:
     return _values_sql(rows, "doc_id, doc_lang, lang_score")
 
 
+def langid_margin_golden_sql(
+    sf_dir: str | None = None, confident_at: float = 0.3
+) -> str:
+    """Sequential replay of the language-ID confidence margin (same
+    predict_margin_one kernel; batch grouping proven margin-invariant)."""
+    from .functions.textcore import LangIdModel
+
+    model = LangIdModel.train()
+    rows = []
+    for doc_id, text in _documents(sf_dir or _oracle_sf_dir()):
+        lang, margin = model.predict_margin_one(text)
+        conf = "TRUE" if margin >= confident_at else "FALSE"
+        rows.append(
+            f"(CAST({doc_id} AS BIGINT), '{lang}', "
+            f"CAST('{_spark_round(margin, 6)!r}' AS DOUBLE), {conf})"
+        )
+    return _values_sql(rows, "doc_id, lang_pred, lang_margin, confident")
+
+
 def perplexity_golden_sql(sf_dir: str | None = None) -> str:
     """Same for the hashed-trigram perplexity kernel."""
     from .functions.textcore import PerplexityModel

@@ -1116,6 +1116,30 @@ def perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_perplexity(df).select("doc_id", F.round("ppl", 2).alias("ppl"))
 
 
+def _langid_margin_oracle() -> str:
+    from .golden import langid_margin_golden_sql
+
+    return langid_margin_golden_sql()
+
+
+@_q("langid_confidence_margin", _langid_margin_oracle)
+def langid_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confidence gate: top1-top2 log-prob margin per doc
+    (CCNet drops low-margin = mixed/ambiguous text).  Same broadcast-
+    model iterator-UDF shape as the langid stage, one Arrow crossing;
+    confident at margin >= 0.3."""
+    from .functions.langid import with_language_margin
+
+    docs = _fan_out(_read(spark, sf_dir, "documents"))
+    out = with_language_margin(docs)
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        F.round("lang_margin", 6).alias("lang_margin"),
+        (F.col("lang_margin") >= 0.3).alias("confident"),
+    )
+
+
 def _ppl_buckets_oracle() -> str:
     from .golden import perplexity_golden_sql
 
@@ -3564,6 +3588,7 @@ _DRIVER_PRIORITY = [
     "role_transition_counts",
     "neardup_quality_reps",
     "mix_plan_tokens",
+    "langid_confidence_margin",
     "dsir_log_weights",
     "dsir_selected_docs",
     "top_ngram_heavy_hitters",
