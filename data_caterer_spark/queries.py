@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .functions import docs as DOC
 from .functions import text as T
+from .functions import webfilters as WF
 from .functions.scrub import scrub_columns
 from .operators import dedup as D
 from .operators import sampling as SAMP
@@ -1761,6 +1762,137 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = keep & F.coalesce(r.column, F.lit(False))
     df = scrub_columns(df, hits_col=None)
     return df.select("doc_id", keep.alias("keep"), "scrubbed_text")
+
+
+# ===========================================================================
+# published web-corpus rule banks: Gopher (Rae et al. 2021), C4 (Raffel
+# et al. 2020) — single-scan pure-Catalyst keep/drop decisions
+# ===========================================================================
+
+_DUCK_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(12)"
+
+
+@_q(
+    "gopher_rule_decisions",
+    f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             {_TOKS_SQL} AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), g AS (
+      SELECT doc_id, text, len(toks) AS n_words, len(lines) AS n_lines,
+             length(translate(text, {_DUCK_WS}, ''))::DOUBLE AS word_chars,
+             length(text) - length(translate(text, '#', '')) AS hash_cnt,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS ell_cnt,
+             len(list_filter(lines,
+                 x -> substr(ltrim(x), 1, 1) IN ('-', '*'))) AS bullet_n,
+             len(list_filter(lines,
+                 x -> right(rtrim(x), 3) = '...')) AS ellline_n,
+             len(list_filter(toks,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_n,
+             len(list_intersect(
+                 list_distinct(list_transform(toks, x -> lower(x))),
+                 ['the','be','to','of','and','that','have','with'])) AS sw_hits
+      FROM f
+    )
+    SELECT doc_id,
+      CASE WHEN text IS NULL THEN NULL ELSE n_words END AS n_words,
+      COALESCE(n_words BETWEEN 50 AND 100000, FALSE) AS words_in_range,
+      COALESCE(n_words > 0
+               AND word_chars / n_words BETWEEN 3.0 AND 10.0,
+               FALSE) AS mean_word_len_ok,
+      COALESCE(n_words > 0
+               AND (hash_cnt + ell_cnt)::DOUBLE / n_words <= 0.1,
+               FALSE) AS symbol_ratio_ok,
+      COALESCE(n_lines > 0 AND bullet_n::DOUBLE / n_lines <= 0.9,
+               FALSE) AS bullet_lines_ok,
+      COALESCE(n_lines > 0 AND ellline_n::DOUBLE / n_lines <= 0.3,
+               FALSE) AS ellipsis_lines_ok,
+      COALESCE(n_words > 0 AND alpha_n::DOUBLE / n_words >= 0.8,
+               FALSE) AS alpha_words_ok,
+      COALESCE(sw_hits >= 2, FALSE) AS stopwords_ok,
+      COALESCE(n_words BETWEEN 50 AND 100000, FALSE)
+      AND COALESCE(n_words > 0
+                   AND word_chars / n_words BETWEEN 3.0 AND 10.0, FALSE)
+      AND COALESCE(n_words > 0
+                   AND (hash_cnt + ell_cnt)::DOUBLE / n_words <= 0.1, FALSE)
+      AND COALESCE(n_lines > 0
+                   AND bullet_n::DOUBLE / n_lines <= 0.9, FALSE)
+      AND COALESCE(n_lines > 0
+                   AND ellline_n::DOUBLE / n_lines <= 0.3, FALSE)
+      AND COALESCE(n_words > 0
+                   AND alpha_n::DOUBLE / n_words >= 0.8, FALSE)
+      AND COALESCE(sw_hits >= 2, FALSE) AS keep
+    FROM g
+    """,
+)
+def gopher_rule_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveWeb document-filter bank (Rae et al. 2021, App.
+    A1.1) over the documents table: seven per-rule booleans + keep in ONE
+    scan, zero shuffles, zero Python (see functions/webfilters.py).
+
+    100 TB shape: a pure map stage — composes with any downstream op
+    without adding an exchange, and the keep predicate pushes down when
+    the output feeds a filter."""
+    df = _read(spark, sf_dir, "documents")
+    return WF.gopher_flags(df).select(
+        "doc_id", "n_words", "words_in_range", "mean_word_len_ok",
+        "symbol_ratio_ok", "bullet_lines_ok", "ellipsis_lines_ok",
+        "alpha_words_ok", "stopwords_ok", "keep",
+    )
+
+
+@_q(
+    "c4_filter_decisions",
+    """
+    WITH f AS (
+      SELECT doc_id, text, lower(text) AS low,
+             string_split(text, chr(10)) AS lines,
+             list_filter(list_transform(string_split_regex(text, '[.!?]'),
+                                        s -> trim(s)),
+                         s -> s != '') AS sents
+      FROM documents
+    ), g AS (
+      SELECT doc_id, text, low, len(lines) AS n_lines,
+             len(sents) AS n_sentences,
+             list_filter(lines, l ->
+                 len(list_filter(string_split_regex(l, '[ \\t\\n\\r\\f]+'),
+                                 x -> x != '')) >= 5
+                 AND right(rtrim(l), 1) IN ('.', '!', '?', '"')) AS kept
+      FROM f
+    )
+    SELECT doc_id,
+      CASE WHEN text IS NULL THEN NULL ELSE n_lines END AS n_lines,
+      CASE WHEN text IS NULL THEN NULL ELSE len(kept) END AS kept_lines,
+      CASE WHEN text IS NULL THEN NULL ELSE n_sentences END AS n_sentences,
+      COALESCE(contains(low, '{'), FALSE) AS has_brace,
+      COALESCE(contains(low, 'lorem ipsum'), FALSE) AS has_lorem_ipsum,
+      COALESCE(contains(low, 'javascript'), FALSE) AS has_javascript,
+      COALESCE(n_sentences >= 3 AND text IS NOT NULL, FALSE)
+      AND NOT COALESCE(contains(low, '{'), FALSE)
+      AND NOT COALESCE(contains(low, 'lorem ipsum'), FALSE)
+      AND NOT COALESCE(contains(low, 'javascript'), FALSE) AS keep,
+      CASE WHEN text IS NULL THEN NULL
+           -- array_to_string([]) is NULL in DuckDB where Spark's
+           -- array_join([]) is '' — coalesce to the Spark semantics
+           ELSE md5(COALESCE(array_to_string(kept, chr(10)), ''))
+      END AS clean_md5
+    FROM g
+    """,
+)
+def c4_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristics (Raffel et al. 2020 §2.2): line-level retention
+    (terminal punctuation + >=5 words) with in-order document reassembly,
+    plus the page-level lorem-ipsum / curly-brace / javascript /
+    min-3-sentences drops.  Single scan, no shuffle; the cleaned text is
+    emitted as md5 for driver hashability."""
+    df = _read(spark, sf_dir, "documents")
+    return WF.c4_decisions(df).select(
+        "doc_id", "n_lines", "kept_lines", "n_sentences", "has_brace",
+        "has_lorem_ipsum", "has_javascript", "keep",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
 
 
 # ===========================================================================
@@ -3578,6 +3710,8 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: untouched.
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "gopher_rule_decisions",
+    "c4_filter_decisions",
     "pq_adc_topk_embeddings",
     "perplexity_buckets",
     "chat_jsonl_export",
