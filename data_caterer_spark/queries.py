@@ -1895,6 +1895,128 @@ def c4_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "web_quality_funnel",
+    f"""
+    WITH f AS (
+      SELECT doc_id, source, text,
+             {_TOKS_SQL} AS toks,
+             string_split(text, chr(10)) AS lines,
+             lower(text) AS low
+      FROM documents
+    ), g AS (
+      SELECT doc_id, source, text, low, lines,
+             len(toks) AS n_words, len(lines) AS n_lines,
+             length(translate(text, {_DUCK_WS}, ''))::DOUBLE AS word_chars,
+             length(text) - length(translate(text, '#', '')) AS hash_cnt,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS ell_cnt,
+             len(list_filter(lines,
+                 x -> substr(ltrim(x), 1, 1) IN ('-', '*'))) AS bullet_n,
+             len(list_filter(lines,
+                 x -> right(rtrim(x), 3) = '...')) AS ellline_n,
+             len(list_filter(toks,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_n,
+             len(list_intersect(
+                 list_distinct(list_transform(toks, x -> lower(x))),
+                 ['the','be','to','of','and','that','have','with'])) AS sw_hits,
+             len(list_filter(list_transform(string_split_regex(text, '[.!?]'),
+                                            s -> trim(s)),
+                             s -> s != '')) AS n_sentences,
+             CASE WHEN len(toks[1:200]) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                       toks[1:200], x -> lower(x)))) AS DOUBLE)
+                       / CAST(len(toks[1:200]) AS DOUBLE)
+             END AS rep_f,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE (length(text) - length(regexp_replace(text,
+                       '[^A-Za-z0-9 \\t\\n\\r\\f]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE)
+             END AS sym_f
+      FROM f
+    ), k AS (
+      SELECT doc_id, source,
+        COALESCE(n_sentences >= 3 AND text IS NOT NULL, FALSE)
+        AND NOT COALESCE(contains(low, '{{'), FALSE)
+        AND NOT COALESCE(contains(low, 'lorem ipsum'), FALSE)
+        AND NOT COALESCE(contains(low, 'javascript'), FALSE) AS c4_keep,
+        COALESCE(n_words BETWEEN 50 AND 100000, FALSE)
+        AND COALESCE(n_words > 0
+                     AND word_chars / n_words BETWEEN 3.0 AND 10.0, FALSE)
+        AND COALESCE(n_words > 0
+                     AND (hash_cnt + ell_cnt)::DOUBLE / n_words <= 0.1, FALSE)
+        AND COALESCE(n_lines > 0
+                     AND bullet_n::DOUBLE / n_lines <= 0.9, FALSE)
+        AND COALESCE(n_lines > 0
+                     AND ellline_n::DOUBLE / n_lines <= 0.3, FALSE)
+        AND COALESCE(n_words > 0
+                     AND alpha_n::DOUBLE / n_words >= 0.8, FALSE)
+        AND COALESCE(sw_hits >= 2, FALSE) AS gopher_keep,
+        COALESCE(text IS NOT NULL, FALSE)
+        AND COALESCE(length(text) BETWEEN 1 AND 8000, FALSE)
+        AND COALESCE(n_words >= 1, FALSE)
+        AND COALESCE(rep_f <= 0.9, FALSE)
+        AND COALESCE(sym_f <= 0.3, FALSE) AS flagship_keep
+      FROM g
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE c4_keep) AS BIGINT) AS c4_pass,
+           CAST(count(*) FILTER (WHERE c4_keep AND gopher_keep) AS BIGINT)
+               AS gopher_pass,
+           CAST(count(*) FILTER (WHERE c4_keep AND gopher_keep
+                                 AND flagship_keep) AS BIGINT)
+               AS flagship_pass
+    FROM k GROUP BY source ORDER BY source
+    """,
+)
+def web_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survival through the staged filter funnel
+    C4 -> Gopher -> flagship rule bank — the acceptance dashboard a
+    curation run reports per crawl source.
+
+    All three banks are zero-shuffle projections over the SAME scan
+    (Catalyst collapses them into one projection); the only exchange is
+    the final tiny per-source aggregate, which combines map-side.  At
+    100 TB this is one pass over the corpus ending in a |sources|-row
+    result."""
+    base = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    staged = WF.gopher_flags(base).withColumnRenamed("keep", "gopher_keep")
+    staged = WF.c4_decisions(staged).withColumnRenamed("keep", "c4_keep")
+    staged = staged.withColumns(
+        {
+            "n_chars_f": F.length("text"),
+            "rep_f": T.word_repetition_ratio("text"),
+            "sym_f": T.symbol_ratio("text"),
+        }
+    )
+    flagship = (
+        F.coalesce(F.col("text").isNotNull(), F.lit(False))
+        & F.coalesce(F.col("n_chars_f").between(1, 8000), F.lit(False))
+        & F.coalesce(F.col("n_words") >= 1, F.lit(False))
+        & F.coalesce(F.col("rep_f") <= 0.9, F.lit(False))
+        & F.coalesce(F.col("sym_f") <= 0.3, F.lit(False))
+    )
+    staged = staged.withColumn("flagship_keep", flagship)
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("c4_keep")).alias("c4_pass"),
+            F.count_if(F.col("c4_keep") & F.col("gopher_keep")).alias(
+                "gopher_pass"
+            ),
+            F.count_if(
+                F.col("c4_keep")
+                & F.col("gopher_keep")
+                & F.col("flagship_keep")
+            ).alias("flagship_pass"),
+        )
+        .orderBy("source")
+    )
+
+
 # ===========================================================================
 # §2.7 set operations
 # ===========================================================================
@@ -3712,6 +3834,7 @@ _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
     "gopher_rule_decisions",
     "c4_filter_decisions",
+    "web_quality_funnel",
     "pq_adc_topk_embeddings",
     "perplexity_buckets",
     "chat_jsonl_export",
