@@ -3859,42 +3859,47 @@ _DRIVER_PRIORITY = [
     "curation_funnel_end_to_end",
     "l_diversity_violations",
     "streaming_classifier_scores",
-    # round-4 rotation: the 25 queries whose last driver row is r02
-    # (rotated out of r03's 50-query cap) run FIRST, so every catalog
-    # query has a driver row at most two rounds old
-    "doc_quality_filter",
-    "transcript_quality_filter",
-    "generate_seeded_table",
-    "generate_regex_fields",
-    "generate_typed_invariants",
-    "generate_fk_consistent_tables",
-    "generation_processor_invariants",
-    "ngram_jaccard_dups",
-    "minhash_lsh_dups",
-    "simhash_dups",
-    "drop_exact_dups_count",
-    "embedding_topk",
-    "embedding_norms",
-    "embedding_neardup_exact",
-    "lsh_knn_embeddings",
-    "ivf_knn_embeddings",
-    "langid_documents",
-    "perplexity_documents",
-    "media_image_features",
-    "media_real_image_features",
-    "media_real_audio_features",
-    "media_resize_features",
-    "media_video_frame_stats",
-    "set_ops_orphan_keys",
-    "set_ops_shared_keys_count",
     # round-3-fresh entries whose operators changed THIS round (bpe
     # vocab caps, semdedup skew guard, winnowing cap, concat_pack exact
-    # div): re-check next so behavior changes get a fresh row too
+    # div): behavior changes outrank long-green staleness, so these sit
+    # ABOVE the r02-stale block — the 50-query cap must include them
     "bpe_token_counts",
     "semantic_dedup_drops",
     "winnowing_overlap",
     "pretrain_packing_bins",
     "plan_run_end_to_end",
+    # round-4 rotation: queries whose last driver row is r02 (rotated out
+    # of r03's 50-query cap) run next.  With 27 new + 5 changed entries
+    # above, the cap reaches 18 rows into this block; the ordering inside
+    # it puts behavior-rich pipelines first and golden-replayed /
+    # long-green generators and media codecs last (those stay covered by
+    # driver_sim 102/102 and the sf0.001 pytest gate even when they miss
+    # a capped round)
+    "doc_quality_filter",
+    "transcript_quality_filter",
+    "ngram_jaccard_dups",
+    "minhash_lsh_dups",
+    "simhash_dups",
+    "drop_exact_dups_count",
+    "embedding_topk",
+    "embedding_neardup_exact",
+    "lsh_knn_embeddings",
+    "ivf_knn_embeddings",
+    "langid_documents",
+    "perplexity_documents",
+    "generate_seeded_table",
+    "generate_regex_fields",
+    "generate_fk_consistent_tables",
+    "generation_processor_invariants",
+    "media_real_image_features",
+    "media_real_audio_features",
+    "media_video_frame_stats",
+    "media_image_features",
+    "media_resize_features",
+    "embedding_norms",
+    "generate_typed_invariants",
+    "set_ops_orphan_keys",
+    "set_ops_shared_keys_count",
 ]
 
 
