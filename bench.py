@@ -60,6 +60,7 @@ HEADLINE = [
                                   # iterations, shuffle-free partials) + infer
     "url_filter_decisions",     # crawl-hygiene URL rules + broadcast blocklist
     "top_ngram_heavy_hitters",  # corpus wordcount + TakeOrderedAndProject
+    "web_quality_funnel",       # C4 -> Gopher -> flagship banks, one scan
 ]
 
 
