@@ -1292,3 +1292,59 @@ def streaming_classifier_golden_sql(
             f"CAST({sfx} AS BIGINT), {str(keep).upper()})"
         )
     return _values_sql(vals, "conv_id, turn_idx, score_fixed, keep")
+
+
+def streaming_neardup_golden_sql(
+    n_convs: int = 120,
+    seed: int = 42,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 2,
+    mh_seed: int = 42,
+) -> str:
+    """Sequential replay of the streaming MinHash near-dup dedup
+    (streaming/quality_stream.py streaming_neardup_dedup): identical
+    signature kernel (the Spark side's pandas UDF IS this python kernel),
+    buckets keyed on raw band-slice tuples (the Spark side hashes the
+    slice with xxhash64 — same partition of the rows modulo 2^-64
+    collisions), min-md5-key-wins per bucket, per-turn dup = OR over
+    bands."""
+    import hashlib
+
+    import numpy as np
+
+    from .fixtures import generate_transcripts
+    from .operators.dedup import _MERSENNE, _perm_params, _py_shingle_hashes
+
+    params = np.array(_perm_params(num_hashes, mh_seed), dtype=np.int64)
+    a_vec, b_vec = params[:, 0][:, None], params[:, 1][:, None]
+    r = num_hashes // bands
+    recs = []
+    for row in generate_transcripts(n_convs, seed):
+        key = hashlib.md5(
+            f"{row['conv_id']}#{row['turn_idx']}".encode("utf-8")
+        ).hexdigest()
+        h = _py_shingle_hashes(row["text"], k)
+        if h.size == 0:
+            sig = np.full(num_hashes, _MERSENNE, dtype=np.int64)
+        else:
+            sig = ((a_vec * h[None, :] + b_vec) % _MERSENNE).min(axis=1)
+        recs.append((row["conv_id"], row["turn_idx"], key, sig))
+    mins: dict = {}
+    for _, _, key, sig in recs:
+        for band in range(bands):
+            bk = (band, tuple(int(x) for x in sig[band * r : (band + 1) * r]))
+            if bk not in mins or key < mins[bk]:
+                mins[bk] = key
+    vals = []
+    for conv_id, ti, key, sig in recs:
+        dup = any(
+            mins[(band, tuple(int(x) for x in sig[band * r : (band + 1) * r]))]
+            < key
+            for band in range(bands)
+        )
+        vals.append(
+            f"('{conv_id}', CAST({ti} AS INTEGER), "
+            f"{'TRUE' if dup else 'FALSE'})"
+        )
+    return _values_sql(vals, "conv_id, turn_idx, is_dup")

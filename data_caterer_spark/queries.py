@@ -2722,6 +2722,32 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(out, f"{base}/cp", "append").orderBy("fp")
 
 
+def _streaming_neardup_oracle() -> str:
+    from .golden import streaming_neardup_golden_sql
+
+    return streaming_neardup_golden_sql(n_convs=120)
+
+
+@_q("streaming_neardup_dedup", _streaming_neardup_oracle)
+def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection over the transcript
+    stream: shared signature kernel, (band, bucket)-keyed state holding
+    ONE min-key string per occupied bucket, min-md5-wins (arrival-order-
+    invariant).  The per-turn OR over bands runs batch-side on the sink
+    table — one stateful operator per query.  Oracle = the sequential
+    replay with buckets keyed on raw band-slice tuples."""
+    from .streaming.quality_stream import streaming_neardup_dedup as neardup
+
+    stream, base = _stream_fixture(spark, n_convs=120)
+    out = neardup(stream)
+    sink = _run_available_now(out, f"{base}/cp", "append")
+    return (
+        sink.groupBy("conv_id", "turn_idx")
+        .agg(F.max("dup").alias("is_dup"))
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
 def _streaming_classifier_oracle() -> str:
     from .golden import streaming_classifier_golden_sql
 
@@ -3835,6 +3861,7 @@ _DRIVER_PRIORITY = [
     "gopher_rule_decisions",
     "c4_filter_decisions",
     "web_quality_funnel",
+    "streaming_neardup_dedup",
     "pq_adc_topk_embeddings",
     "perplexity_buckets",
     "chat_jsonl_export",

@@ -264,3 +264,118 @@ def streaming_classifier_scores(stream: DataFrame, model) -> DataFrame:
             )
 
     return src.mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# streaming NEAR-dup dedup (MinHash-LSH buckets with keyed state)
+# ---------------------------------------------------------------------------
+
+_NEARDUP_OUT = (
+    "conv_id string, turn_idx int, key string, dup boolean"
+)
+_NEARDUP_STATE = "min_key string"
+
+
+def _neardup_fn(
+    key: Tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-(band, bucket) state: the smallest row key ever seen.  A row is
+    a dup-from-this-band when a strictly smaller key already claimed the
+    bucket (in this batch or any earlier one) — min-key-wins is arrival-
+    order-invariant, so the stream replays byte-identically."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    prev = state.get[0] if state.exists else None
+    frames = [p for p in pdf_iter if len(p)]
+    if not frames:
+        return
+    df = pd.concat(frames) if len(frames) > 1 else frames[0]
+    m = df["key"].min()
+    eff = m if prev is None or m < prev else prev
+    state.update((eff,))
+    out = df[["conv_id", "turn_idx", "key"]].copy()
+    out["dup"] = df["key"] > eff
+    yield out
+
+
+def streaming_neardup_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection: the streaming twin of the
+    batch banded-MinHash path (``operators/dedup.py minhash_lsh_pairs``).
+
+    Per turn: the shared signature kernel (one Arrow crossing, identical
+    bytes to batch), banded into ``bands`` bucket keys; each (band,
+    bucket) is a keyed-state group whose state is ONE string — the
+    smallest row key that ever claimed the bucket.  A turn is a near-dup
+    when ANY of its buckets was claimed by a strictly smaller key
+    (min-md5-wins: deterministic under any arrival order, replayable by a
+    sequential oracle).  Emits per-(turn, band) rows; the consumer ORs
+    them per turn — Spark allows only one stateful operator per query, so
+    the tiny OR-aggregate runs batch-side on the sink table.
+
+    Scale shape: state is one 32-char string per OCCUPIED bucket — the
+    same cardinality the batch band-join shuffles — and the exchange keys
+    on (band, bucket), so hot-text skew spreads across ``bands`` groups.
+    For an unbounded stream, bound state with a watermark on the source
+    and an event-time timeout horizon (the recent-window dedup semantics
+    of ``streaming_exact_dedup``); the availableNow replay used by tests
+    and the driver fires no timeouts.
+    """
+    from ..operators.dedup import with_minhash_signature
+
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must divide into bands evenly")
+    r = num_hashes // bands
+    src = stream.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.md5(
+            F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string"))
+        ).alias("key"),
+        F.col(text_col),
+    )
+    sig = with_minhash_signature(
+        src, text_col=text_col, out_col="__sig",
+        num_hashes=num_hashes, k=k, seed=seed,
+    )
+    banded = sig.select(
+        "conv_id",
+        "turn_idx",
+        "key",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("__sig", i * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("__b"),
+    ).select(
+        "conv_id", "turn_idx", "key",
+        F.col("__b.band").alias("band"), F.col("__b.bh").alias("bh"),
+    )
+    return banded.groupBy("band", "bh").applyInPandasWithState(
+        _neardup_fn,
+        outputStructType=_NEARDUP_OUT,
+        stateStructType=_NEARDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

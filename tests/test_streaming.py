@@ -173,3 +173,94 @@ def test_streaming_exact_dedup_matches_batch_distinct(spark, fixture_path, tmp_p
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_streaming_neardup_matches_batch_min_wins(spark, tmp_path):
+    """Planted near-dup turns: the streamed (band,bucket)-state decision
+    must equal the batch min-key-wins twin computed with the same
+    signature kernel and banding, and the planted duplicates must be
+    flagged while unique turns survive."""
+    import datetime as dt
+
+    from data_caterer_spark.operators.dedup import with_minhash_signature
+    from data_caterer_spark.streaming.quality_stream import (
+        streaming_neardup_dedup,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # two near-identical long turns (shared 2-shingles) + one unique
+        ("c1", 0, "user", "please summarize the quarterly revenue report "
+                          "for the north region today", None, base),
+        ("c2", 0, "user", "please summarize the quarterly revenue report "
+                          "for the north region tomorrow", None, base),
+        ("c3", 0, "user", "completely unrelated text about gardening and "
+                          "watering schedules in spring", None, base),
+        # exact replay of c1's text in another conversation
+        ("c4", 0, "user", "please summarize the quarterly revenue report "
+                          "for the north region today", None, base),
+    ]
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp")
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(rows, ddl).write.mode("overwrite").parquet(inp)
+    schema = spark.read.parquet(inp).schema
+    stream = spark.readStream.schema(schema).parquet(inp)
+
+    out = streaming_neardup_dedup(stream)
+    sink = _run_stream(spark, out, "neardup_sink", str(tmp_path / "cp"))
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["is_dup"]
+        for r in sink.groupBy("conv_id", "turn_idx")
+        .agg(F.max("dup").alias("is_dup"))
+        .collect()
+    }
+
+    # batch twin: same kernel/banding, bucket min over md5 keys, OR per turn
+    num_hashes, bands, r_rows, k, seed = 32, 8, 4, 2, 42
+    src = spark.read.parquet(inp).select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.md5(F.concat_ws("#", "conv_id",
+                          F.col("turn_idx").cast("string"))).alias("key"),
+        "text",
+    )
+    sig = with_minhash_signature(
+        src, text_col="text", out_col="__sig",
+        num_hashes=num_hashes, k=k, seed=seed)
+    banded = sig.select(
+        "conv_id", "turn_idx", "key",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.struct(
+                i.alias("band"),
+                F.xxhash64(F.array_join(F.transform(
+                    F.slice("__sig", i * r_rows + 1, r_rows),
+                    lambda x: x.cast("string")), ",")).alias("bh")),
+        )).alias("b"),
+    ).select("conv_id", "turn_idx", "key", "b.band", "b.bh")
+    from pyspark.sql import Window
+    mn = banded.groupBy("band", "bh").agg(F.min("key").alias("mn"))
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["is_dup"]
+        for r in banded.join(mn, ["band", "bh"])
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max(F.col("key") > F.col("mn")).alias("is_dup"))
+        .collect()
+    }
+    assert got == want
+    # the unique turn survives
+    assert got[("c3", 0)] is False
+    # min-md5-wins: the smallest key among the near-dup trio is the
+    # bucket winner and survives; the exact replay of the winner's text
+    # (or of any bucket-sharing text) is flagged
+    import hashlib
+
+    keys = {c: hashlib.md5(f"{c}#0".encode()).hexdigest()
+            for c in ("c1", "c2", "c4")}
+    winner = min(keys, key=keys.get)
+    assert got[(winner, 0)] is False
+    losers = [c for c in ("c1", "c4") if c != winner]
+    # c1 and c4 share EVERY bucket (identical text), so whichever of them
+    # is not the global winner must be flagged
+    assert all(got[(c, 0)] for c in losers)
