@@ -131,6 +131,9 @@ class GenerationProcessor:
         self.records_per_batch = records_per_batch
         self.enable_count = enable_count
         self.enable_report_samples = enable_report_samples
+        #: per-step live progress streams (SparkRecordListener parity):
+        #: one ProgressReport per sink write, keyed by "task_step"
+        self.progress: dict[str, list] = {}
 
     def run(
         self,
@@ -222,22 +225,46 @@ class GenerationProcessor:
                 from ..operators.dedup import truncate_lineage
 
                 df = truncate_lineage(df)
+                counted_in_sink = False
                 if step.sink is not None:
+                    sink = step.sink
+
+                    def _write(d: DataFrame, s=sink) -> None:
+                        write_sink(
+                            d,
+                            s.fmt,
+                            path=s.path,
+                            table=s.table,
+                            mode=s.mode,
+                            options=s.options or None,
+                            partition_by=s.partition_by,
+                        )
+
                     t0 = time.time()
-                    write_sink(
-                        df,
-                        step.sink.fmt,
-                        path=step.sink.path,
-                        table=step.sink.table,
-                        mode=step.sink.mode,
-                        options=step.sink.options or None,
-                        partition_by=step.sink.partition_by,
-                    )
+                    if self.enable_count:
+                        # SparkRecordListener parity: the row count rides
+                        # the sink write as an Observation (the listener's
+                        # outputMetrics.recordsWritten), so counting costs
+                        # ZERO extra actions — df.count() here would
+                        # re-execute the batch once per step per batch
+                        from ..operators.progress import (
+                            RecordProgressTracker,
+                        )
+
+                        tracker = RecordProgressTracker(
+                            self.spark, name=f"sink-{key}-b{batch}"
+                        )
+                        rep = tracker.run(df, _write)
+                        sink_stats[key]["rows"] += rep.num_rows
+                        self.progress.setdefault(key, []).append(rep)
+                        counted_in_sink = True
+                    else:
+                        _write(df)
                     sink_stats[key]["wall"] += time.time() - t0
-                if self.enable_count:
-                    sink_stats[key]["rows"] += df.count()
-                else:
+                if not self.enable_count:
                     sink_stats[key]["rows"] = -1  # reference's disabled marker
+                elif not counted_in_sink:
+                    sink_stats[key]["rows"] += df.count()
                 accumulated[name] = (
                     df
                     if name not in accumulated
