@@ -1348,3 +1348,69 @@ def streaming_neardup_golden_sql(
             f"{'TRUE' if dup else 'FALSE'})"
         )
     return _values_sql(vals, "conv_id, turn_idx, is_dup")
+
+
+def _py_doc_spans(text: str, k: int = 8) -> list[str]:
+    """Twin of operators.dedup.doc_spans chunking: split on single
+    spaces (Java split keeps empties like str.split(' ')), consecutive
+    non-overlapping k-token spans, short tail kept."""
+    toks = text.split(" ")
+    n_chunks = (len(toks) + k - 1) // k
+    return [
+        " ".join(toks[i * k : (i + 1) * k]) for i in range(max(n_chunks, 1))
+    ]
+
+
+def _py_bloom_positions(span: str, n_bits: int, n_hashes: int) -> list[int]:
+    """Twin of operators.dedup.bloom_positions: modular double hashing
+    over the bit-exact xxhash64 twin (Python % on a negative long IS
+    Spark's pmod)."""
+    from .hashing import spark_xxhash64_str
+
+    h1 = spark_xxhash64_str(span) % n_bits
+    h2 = spark_xxhash64_str(span + "\x01") % n_bits
+    return [(h1 + i * h2) % n_bits for i in range(n_hashes)]
+
+
+def bloom_dedup_golden_sql(
+    sf_dir: "str | None" = None,
+    k: int = 8,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+) -> str:
+    """Sequential pure-Python replay of the Bloom-filter paragraph dedup
+    (operators.dedup.bloom_paragraph_dedup): same seeded md5 corpus
+    split, same chunking, same double-hashed bit positions — so the
+    replayed bitmap (INCLUDING any false positive) is identical and the
+    probabilistic structure verifies hash-exactly."""
+    sf_dir = sf_dir or _oracle_sf_dir()
+    docs = [(d, t) for d, t in _documents(sf_dir) if t is not None]
+
+    def seen(doc_id: int) -> bool:
+        return (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 2
+            == 0
+        )
+
+    bits: set[int] = set()
+    for doc_id, text in docs:
+        if seen(doc_id):
+            for span in _py_doc_spans(text, k):
+                bits.update(_py_bloom_positions(span, n_bits, n_hashes))
+    rows = []
+    for doc_id, text in docs:
+        if seen(doc_id):
+            continue
+        spans = _py_doc_spans(text, k)
+        dup = [
+            all(p in bits for p in _py_bloom_positions(s, n_bits, n_hashes))
+            for s in spans
+        ]
+        clean = " ".join(s for s, d in zip(spans, dup) if not d)
+        md5 = hashlib.md5(clean.encode("utf-8")).hexdigest()
+        rows.append(
+            f"({doc_id}, {len(spans)}, {sum(dup)}, '{md5}')"
+        )
+    return _values_sql(
+        rows, "doc_id, n_spans, n_dup_spans, clean_md5"
+    )

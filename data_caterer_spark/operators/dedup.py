@@ -1066,3 +1066,240 @@ def cluster_representatives(
             "members",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter paragraph dedup (the Dolma deduper's scale technique)
+# --------------------------------------------------------------------------
+
+
+def bloom_positions(
+    span: "Column | str", n_bits: int, n_hashes: int
+) -> Column:
+    """Bloom bit positions for one span: Kirsch-Mitzenmacher double
+    hashing ``pos_i = (h1 + i*h2) mod m`` with ``h1 = xxhash64(span)``
+    and ``h2 = xxhash64(span || '\\x01')``.
+
+    The arithmetic is done entirely in modular space (``pmod`` each hash
+    BEFORE the multiply-add) so no long overflow exists under ANSI mode,
+    and the pure-Python twin (``golden`` replays via
+    ``hashing.spark_xxhash64_str``) reproduces every position — and
+    therefore every false positive — bit-exactly."""
+    col = F.col(span) if isinstance(span, str) else span
+    h1 = F.pmod(F.xxhash64(col), F.lit(n_bits))
+    h2 = F.pmod(F.xxhash64(F.concat(col, F.lit("\x01"))), F.lit(n_bits))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.pmod(h1 + i * h2, F.lit(n_bits)).cast("int"),
+    )
+
+
+def bloom_build(
+    spans: DataFrame,
+    span_col: str = "span",
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+) -> list[int]:
+    """Distributed Bloom-filter build over a span column.
+
+    Shuffle shape: explode to (bit position) ints, distinct them (one
+    combinable shuffle of ints), pack ``word = pos div 64`` with a
+    ``bit_or`` of single-bit masks (second tiny shuffle over <= m/64
+    keys), and collect the BOUNDED m/64 longs.  The collect is m/8 bytes
+    regardless of corpus size — the whole point of the structure: Dolma
+    dedupes multi-TB batches against a fixed-RAM bitmap of everything
+    seen so far.  Returns the bitmap as signed-long words (LSB-first
+    within a word)."""
+    words = (
+        spans.select(
+            F.explode(
+                bloom_positions(span_col, n_bits, n_hashes)
+            ).alias("pos")
+        )
+        .distinct()
+        .select(
+            F.expr("pos div 64").cast("long").alias("word"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("pos"), F.lit(64)),
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * ((n_bits + 63) // 64)
+    for r in words:
+        bitmap[int(r["word"])] = int(r["bits"])
+    return bitmap
+
+
+def _bloom_member_broadcast(
+    df: DataFrame,
+    bitmap: list[int],
+    span_col: str,
+    n_bits: int,
+    n_hashes: int,
+    out_col: str,
+) -> DataFrame:
+    """Membership via a literal bitmap array (fits small/medium blooms:
+    the array rides the plan, one copy per executor — the Dolma
+    in-memory shape)."""
+    lit_map = F.lit(bitmap)
+    pos = bloom_positions(span_col, n_bits, n_hashes)
+    # positions are non-negative ints < n_bits, so floor(p/64) is exact
+    hit = F.forall(
+        pos,
+        lambda p: (
+            F.element_at(lit_map, F.floor(p / F.lit(64)).cast("int") + 1)
+        ).bitwiseAND(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64))
+            )
+        )
+        != 0,
+    )
+    return df.withColumn(out_col, hit)
+
+
+def _bloom_member_join(
+    df: DataFrame,
+    bitmap_df: DataFrame,
+    span_col: str,
+    n_bits: int,
+    n_hashes: int,
+    out_col: str,
+    key_cols: "list[str]",
+) -> DataFrame:
+    """Membership via an equi-join on the bitmap WORD — the 100 TB path.
+
+    A 10^12-paragraph history needs m ~ 2^40 bits = 128 GiB of bitmap:
+    far past broadcast, trivial as a (word, bits) table co-partitioned
+    with the probe positions.  Probes explode to (key, word, mask) longs,
+    join the bitmap on ``word`` (plain equi-join, AQE-safe: word ids are
+    uniform by construction of the hash), and a span is a member iff ALL
+    its ``n_hashes`` probes found their bit set.  Only ids and longs
+    shuffle — never text."""
+    probes = df.select(
+        *[F.col(c) for c in key_cols],
+        F.explode(
+            bloom_positions(span_col, n_bits, n_hashes)
+        ).alias("pos"),
+    ).select(
+        *key_cols,
+        F.floor(F.col("pos") / F.lit(64)).cast("long").alias("word"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(F.col("pos"), F.lit(64))
+        ).alias("mask"),
+    )
+    joined = probes.join(bitmap_df, "word", "left").withColumn(
+        "__hit",
+        F.when(
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(F.col("mask")) != 0),
+            1,
+        ).otherwise(0),
+    )
+    agg = joined.groupBy(*key_cols).agg(
+        (F.sum("__hit") == F.count(F.lit(1))).alias(out_col)
+    )
+    return df.join(agg, key_cols, "left")
+
+
+def bloom_paragraph_dedup(
+    df: DataFrame,
+    k: int = 8,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    membership: str = "broadcast",
+) -> DataFrame:
+    """Dolma-style Bloom-filter paragraph dedup (allenai/dolma's deduper:
+    a fixed-RAM Bloom filter over paragraph hashes marks re-seen
+    paragraphs across multi-TB batches without holding the corpus).
+
+    The corpus splits deterministically in half by a seeded md5 salt on
+    the id (the repo's replayable-split idiom): the SEEN half's k-token
+    spans build the bitmap; the QUERY half's spans test against it.  A
+    span testing positive is dropped as already-seen boilerplate.
+    Returns one row per query document: (id, n_spans, n_dup_spans,
+    clean_text) with spans in original order.
+
+    Exactness: positions derive from ``xxhash64`` twinned bit-for-bit in
+    pure Python (``hashing.spark_xxhash64_str``), so the golden oracle
+    replays the IDENTICAL bitmap — including false positives — making a
+    probabilistic structure hash-exactly verifiable.
+
+    Scale shape: the build collects only m/8 bitmap bytes; the probe side
+    is one literal-array test per span (``membership='broadcast'``) or a
+    (word, bits) equi-join shuffling longs only (``membership='join'``,
+    the 2^40-bit path).  Both paths are tested equal."""
+    # doc_spans emits the id as "id"; the split salts THAT column
+    is_seen = (
+        F.conv(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    spans = doc_spans(
+        df.where(F.col(text_col).isNotNull()),
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
+    ).withColumn("__seen", is_seen)
+    builder = spans.where(F.col("__seen"))
+    query = spans.where(~F.col("__seen"))
+    bitmap = bloom_build(
+        builder, span_col="span", n_bits=n_bits, n_hashes=n_hashes
+    )
+    if membership == "join":
+        spark = df.sparkSession
+        bitmap_df = spark.createDataFrame(
+            [(w, b) for w, b in enumerate(bitmap) if b != 0],
+            "word long, bits long",
+        )
+        marked = _bloom_member_join(
+            query,
+            bitmap_df,
+            "span",
+            n_bits,
+            n_hashes,
+            "__dup",
+            key_cols=["id", "cidx"],
+        )
+    else:
+        marked = _bloom_member_broadcast(
+            query, bitmap, "span", n_bits, n_hashes, "__dup"
+        )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("__dup").cast("int")).alias("n_dup_spans"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("cidx", "span", "__dup")
+                            )
+                        ),
+                        lambda s: ~s["__dup"],
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_spans").cast("int").alias("n_spans"),
+            F.col("n_dup_spans").cast("int").alias("n_dup_spans"),
+            "clean_text",
+        )
+    )

@@ -3847,6 +3847,36 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "probe string, met boolean")
 
 
+def _bloom_dedup_golden_oracle() -> str:
+    from .golden import bloom_dedup_golden_sql
+
+    return bloom_dedup_golden_sql(k=8, n_bits=1 << 17, n_hashes=5)
+
+
+@_q("bloom_paragraph_dedup", _bloom_dedup_golden_oracle)
+def bloom_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter paragraph dedup (the allenai/dolma deduper's scale
+    technique: a fixed-RAM bitmap over paragraph hashes dedupes each
+    incoming batch against everything seen so far, without holding or
+    re-scanning the corpus).  The seen half of the corpus (seeded md5
+    split) builds the bitmap distributed — the collect is bounded at
+    m/8 bytes regardless of corpus size — and the query half tests its
+    spans against it; positive spans drop as already-seen boilerplate.
+
+    Oracle: a pure-Python sequential replay over the bit-exact xxhash64
+    twin (hashing.py) rebuilds the identical bitmap, so every decision —
+    including any false positive, the structure's defining behavior — is
+    hash-verified, not just row counts."""
+    docs = _read(spark, sf_dir, "documents")
+    out = D.bloom_paragraph_dedup(docs, k=8, n_bits=1 << 17, n_hashes=5)
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
 # ===========================================================================
 # driver registration order
 # ===========================================================================
@@ -3858,6 +3888,7 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: untouched.
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "bloom_paragraph_dedup",
     "gopher_rule_decisions",
     "c4_filter_decisions",
     "web_quality_funnel",
