@@ -1414,3 +1414,76 @@ def bloom_dedup_golden_sql(
     return _values_sql(
         rows, "doc_id, n_spans, n_dup_spans, clean_md5"
     )
+
+
+def pii_provenance_golden_sql(n_convs: int = 200, seed: int = 42) -> str:
+    """Sequential replay of the PII provenance profile: per (conv, PII
+    kind) — the turn that introduced it, how many turns carry it, and
+    whether an assistant turn repeats it after a user turn introduced it
+    (the leak-propagation signal).  Kind flags come from the SAME
+    sequential scrub kernel the Spark side stages
+    (textcore.scrub_text)."""
+    from .fixtures import generate_transcripts
+    from .functions.textcore import scrub_text
+
+    pii = ["pii_email", "pii_card", "pii_ssn", "pii_phone", "pii_ip"]
+    rows = generate_transcripts(n_convs=n_convs, seed=seed)
+    convs: dict[str, list[dict]] = {}
+    for r in rows:
+        convs.setdefault(r["conv_id"], []).append(r)
+    out = []
+    for cid in sorted(convs):
+        turns = sorted(
+            convs[cid], key=lambda r: (r["turn_idx"], r["role"])
+        )
+        per_kind: dict[str, list[tuple[int, str]]] = {}
+        for r in turns:
+            _, hits = scrub_text(r["text"])
+            for k in hits:
+                if k in pii:
+                    per_kind.setdefault(k, []).append(
+                        (r["turn_idx"], r["role"])
+                    )
+        for k in sorted(per_kind):
+            occ = per_kind[k]
+            first_idx, first_role = min(occ)
+            user_idxs = [i for i, ro in occ if ro == "user"]
+            asst_idxs = [i for i, ro in occ if ro == "assistant"]
+            echoed = bool(
+                user_idxs and asst_idxs and max(asst_idxs) > min(user_idxs)
+            )
+            out.append(
+                f"('{cid}', '{k}', {first_idx}, '{first_role}', "
+                f"{len(occ)}, {str(echoed).upper()})"
+            )
+    return _values_sql(
+        out,
+        "conv_id, kind, first_turn_idx, first_role, n_turns, "
+        "echoed_by_assistant",
+    )
+
+
+def template_turns_golden_sql(
+    n_convs: int = 200, seed: int = 42, min_convs: int = 3
+) -> str:
+    """Sequential replay of canned-turn detection: a turn text appearing
+    verbatim in >= min_convs distinct conversations is a template; each
+    conversation reports its total and template turn counts."""
+    from .fixtures import generate_transcripts
+
+    rows = generate_transcripts(n_convs=n_convs, seed=seed)
+    by_text: dict[str, set[str]] = {}
+    for r in rows:
+        if r["text"] is not None:
+            by_text.setdefault(r["text"], set()).add(r["conv_id"])
+    templates = {t for t, cs in by_text.items() if len(cs) >= min_convs}
+    tot: dict[str, int] = {}
+    tmpl: dict[str, int] = {}
+    for r in rows:
+        tot[r["conv_id"]] = tot.get(r["conv_id"], 0) + 1
+        if r["text"] in templates:
+            tmpl[r["conv_id"]] = tmpl.get(r["conv_id"], 0) + 1
+    vals = [
+        f"('{cid}', {tot[cid]}, {tmpl.get(cid, 0)})" for cid in sorted(tot)
+    ]
+    return _values_sql(vals, "conv_id, n_turns, n_template_turns")

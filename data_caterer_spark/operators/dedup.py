@@ -1303,3 +1303,41 @@ def bloom_paragraph_dedup(
             "clean_text",
         )
     )
+
+
+def template_turn_counts(
+    df: DataFrame,
+    min_convs: int = 3,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canned-turn (template) detection over conversation transcripts:
+    a turn text appearing VERBATIM in >= ``min_convs`` distinct
+    conversations is boilerplate (system prompts, canned apologies,
+    templated tool output), the message-level analog of corpus
+    repeated-span removal.  Returns (conv, n_turns, n_template_turns).
+
+    Plan: one combinable count-distinct groupBy builds the template
+    bank, one 1:N equi-join marks turns (the bank side is DISTINCT
+    texts, so a hot template fans out linearly — no quadratic block),
+    one combinable per-conversation aggregate.  At crawl scale the bank
+    key becomes ``xxhash64(text)`` so the shuffle carries 8-byte longs;
+    kept verbatim here so the sequential oracle shares the exact
+    equality semantics."""
+    bank = (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(text_col)
+        .agg(F.count_distinct(F.col(conv_col)).alias("__cv"))
+        .where(F.col("__cv") >= min_convs)
+        .select(text_col, F.lit(1).alias("__tmpl"))
+    )
+    marked = df.join(bank, [text_col], "left")
+    return (
+        marked.groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_turns"),
+            F.sum(F.coalesce(F.col("__tmpl"), F.lit(0)))
+            .cast("int")
+            .alias("n_template_turns"),
+        )
+    )

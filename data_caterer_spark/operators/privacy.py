@@ -82,3 +82,72 @@ def anonymity_summary(
         F.min("__n").alias("k_anonymity"),
         F.min("__l").alias("l_diversity"),
     )
+
+
+#: the scrub bank's PII rule ids (textcore.SCRUB_BANK order)
+PII_KINDS = ["pii_email", "pii_card", "pii_ssn", "pii_phone", "pii_ip"]
+
+
+def pii_provenance(
+    df: DataFrame,
+    kinds: Sequence[str] = tuple(PII_KINDS),
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(conversation, PII kind) provenance profile: which turn
+    introduced the PII, who said it first, how many turns carry it, and
+    whether an ASSISTANT turn repeats it after a USER turn introduced it
+    — the leak-propagation signal a transcript release gate needs (an
+    assistant echoing a user's SSN is a worse leak than the user's own
+    mention, because scrubbing inputs alone won't remove it).
+
+    Kind flags come from the staged scrub chain (functions/scrub.py —
+    SEQUENTIAL hit semantics, byte-equal to the reference labeler), so
+    this profile is consistent with what the scrub pass will actually
+    redact.  Plan: one projection for the flags, one explode of the
+    per-turn kind hits (<= 5 rows per PII turn, ~0 for clean turns), ONE
+    combinable groupBy on (conv, kind) — no window, no join; the echo
+    test folds into the aggregate as max(assistant idx) > min(user idx),
+    which is exactly "some assistant mention follows the first user
+    mention"."""
+    from ..functions.scrub import scrub_columns
+
+    flagged = scrub_columns(
+        df, text_col=text_col, out_col="__sc", hits_col="__hits"
+    )
+    g = flagged.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.col(role_col),
+        F.explode(
+            F.array_intersect("__hits", F.lit(list(kinds)))
+        ).alias("kind"),
+    )
+    first = F.min(F.struct(F.col(idx_col), F.col(role_col)))
+    first_user = F.min(
+        F.when(F.col(role_col) == "user", F.col(idx_col))
+    )
+    last_assistant = F.max(
+        F.when(F.col(role_col) == "assistant", F.col(idx_col))
+    )
+    return (
+        g.groupBy(conv_col, "kind")
+        .agg(
+            first.alias("__f"),
+            F.count(F.lit(1)).alias("n_turns"),
+            first_user.alias("__fu"),
+            last_assistant.alias("__la"),
+        )
+        .select(
+            conv_col,
+            "kind",
+            F.col(f"__f.{idx_col}").alias("first_turn_idx"),
+            F.col(f"__f.{role_col}").alias("first_role"),
+            F.col("n_turns").cast("int").alias("n_turns"),
+            F.coalesce(
+                F.col("__la") > F.col("__fu"), F.lit(False)
+            ).alias("echoed_by_assistant"),
+        )
+    )

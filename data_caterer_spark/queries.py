@@ -3847,6 +3847,47 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "probe string, met boolean")
 
 
+def _pii_provenance_oracle() -> str:
+    from .golden import pii_provenance_golden_sql
+
+    return pii_provenance_golden_sql()
+
+
+@_q("pii_provenance_profile", _pii_provenance_oracle)
+def pii_provenance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(conversation, PII kind) provenance: introducing turn + role,
+    turn count, and whether an assistant turn echoes the PII after a
+    user introduced it — the leak-propagation gate for transcript
+    releases.  One scrub projection + one explode + ONE combinable
+    groupBy (no window, no join); oracle = the sequential scrub-kernel
+    replay (golden.pii_provenance_golden_sql)."""
+    from .fixtures import generate_transcripts_df
+    from .operators.privacy import pii_provenance
+
+    df = generate_transcripts_df(spark, n_convs=200, num_partitions=8)
+    return pii_provenance(df).orderBy("conv_id", "kind")
+
+
+def _template_turns_oracle() -> str:
+    from .golden import template_turns_golden_sql
+
+    return template_turns_golden_sql()
+
+
+@_q("template_turn_counts", _template_turns_oracle)
+def template_turn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned-turn detection: texts verbatim in >= 3 distinct
+    conversations are templates (system boilerplate, canned apologies);
+    per conversation, total vs template turn counts.  Bank = one
+    count-distinct groupBy; marking = one 1:N equi-join (no quadratic
+    block: the bank side is distinct texts)."""
+    from .fixtures import generate_transcripts_df
+    from .operators.dedup import template_turn_counts as ttc
+
+    df = generate_transcripts_df(spark, n_convs=200, num_partitions=8)
+    return ttc(df, min_convs=3).orderBy("conv_id")
+
+
 def _bloom_dedup_golden_oracle() -> str:
     from .golden import bloom_dedup_golden_sql
 
@@ -3889,6 +3930,8 @@ def bloom_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
     "bloom_paragraph_dedup",
+    "pii_provenance_profile",
+    "template_turn_counts",
     "gopher_rule_decisions",
     "c4_filter_decisions",
     "web_quality_funnel",
