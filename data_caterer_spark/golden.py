@@ -1487,3 +1487,63 @@ def template_turns_golden_sql(
         f"('{cid}', {tot[cid]}, {tmpl.get(cid, 0)})" for cid in sorted(tot)
     ]
     return _values_sql(vals, "conv_id, n_turns, n_template_turns")
+
+
+def diversity_sample_golden_sql(
+    sf_dir: "str | None" = None,
+    per_cluster: int = 2,
+    rows_per_list: int = 64,
+    iters: int = 5,
+    seed: int = 42,
+    sample_rows: int = 10_000,
+) -> str:
+    """Sequential replay of the cluster-coverage diversity sample: same
+    derived cluster count, same seeded md5 training sample in id order,
+    same numpy k-means + sq_dists/stable-argsort assignment, then the
+    per-cluster (d2, id) ascending top-``per_cluster``."""
+    import duckdb
+    import numpy as np
+
+    sf = sf_dir or _oracle_sf_dir()
+    recs = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+    ids = [r[0] for r in recs]
+    vecs = {r[0]: [float(x) for x in r[1]] for r in recs}
+
+    from .operators.sampling import fraction_threshold
+    from .operators.similarity import (
+        TRAIN_ROWS_PER_LIST,
+        derive_n_lists,
+        kmeans_fit,
+        sq_dists,
+    )
+
+    n = len(ids)
+    n_lists = derive_n_lists(n, rows_per_list)
+    eff_sample = max(sample_rows, TRAIN_ROWS_PER_LIST * n_lists)
+    thr = fraction_threshold(min(1.0, eff_sample / max(n, 1)))
+    samp = sorted(
+        vid
+        for vid in ids
+        if hashlib.md5(f"{seed}\x1f{vid}".encode()).hexdigest()[:8] < thr
+    )
+    x = np.array([vecs[i] for i in samp], dtype=np.float64)
+    cent = kmeans_fit(x, min(n_lists, len(x)), iters=iters, seed=seed)
+    mat = np.array([vecs[i] for i in ids], dtype=np.float64)
+    d2 = sq_dists(mat, cent)
+    assign = np.argsort(d2, axis=1, kind="stable")[:, 0]
+    clusters: dict[int, list[tuple[float, int]]] = {}
+    for row, vid in enumerate(ids):
+        c = int(assign[row])
+        clusters.setdefault(c, []).append((float(d2[row, c]), vid))
+    rows = []
+    for c in sorted(clusters):
+        members = sorted(clusters[c])
+        for dd, vid in members[:per_cluster]:
+            rows.append(
+                f"(CAST({c} AS INTEGER), CAST({vid} AS BIGINT), "
+                f"CAST('{_spark_round(dd, 6)!r}' AS DOUBLE), "
+                f"CAST({len(members)} AS INTEGER))"
+            )
+    return _values_sql(rows, "cluster, vec_id, dist_sq, cluster_size")

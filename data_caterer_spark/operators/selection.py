@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import hashlib
 import math
+
+import pandas as pd
 from typing import Iterable
 
 from pyspark.sql import Column, DataFrame
@@ -324,4 +326,125 @@ def dsir_select(
         .orderBy(F.desc("__key"), F.asc(id_col))
         .limit(k)
         .drop("__key")
+    )
+
+
+# --------------------------------------------------------------------------
+# cluster-coverage diversity sampling (embedding-space subset selection)
+# --------------------------------------------------------------------------
+
+
+def with_cluster_dist(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    out_col: str = "__cd",
+) -> DataFrame:
+    """Nearest k-means cluster + squared distance to it, one broadcast
+    matmul per Arrow batch (the IVF assignment shape, plus the distance
+    the selection sorts on).  Shares ``sq_dists``/stable-argsort with the
+    trainer and the golden replay so ordering decisions replay
+    bit-identically."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from .similarity import sq_dists
+
+    bc = df.sparkSession.sparkContext.broadcast(centroids.tobytes())
+    n_lists, dim = centroids.shape
+
+    # struct-returning pandas UDFs require the series->DataFrame form
+    # (the Iterator variant is scalar-only)
+    @pandas_udf("struct<cluster:int, d2:double>")
+    def _assign(series: pd.Series) -> pd.DataFrame:
+        cent = np.frombuffer(bc.value, dtype=np.float64).reshape(
+            n_lists, dim
+        )
+        mat = np.array(
+            [v if v is not None else np.zeros(dim) for v in series],
+            dtype=np.float64,
+        )
+        d2 = sq_dists(mat, cent)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, 0]
+        return pd.DataFrame(
+            {
+                "cluster": idx.astype("int32"),
+                "d2": d2[np.arange(len(idx)), idx],
+            }
+        )
+
+    return df.withColumn(out_col, _assign(F.col(vec_col).cast("array<double>")))
+
+
+def diversity_cluster_sample(
+    df: DataFrame,
+    per_cluster: int = 2,
+    n_lists: "int | None" = None,
+    rows_per_list: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-space diversity selection: k-means the corpus (derived
+    cluster count, seeded hash-sampled training — the IVF recipe), keep
+    the ``per_cluster`` most-central rows per cluster (ties -> lower
+    id).  The selected subset covers every region of embedding space
+    with its most representative members — the cluster-coverage sampling
+    used to diversify instruction-tuning subsets, where top-k-by-quality
+    alone collapses onto one dominant mode.
+
+    Plan: bounded driver-side training (sample ~40 rows/centroid), one
+    broadcast-matmul assignment pass, ONE combinable groupBy whose
+    per-cluster state is capped by construction (``derive_n_lists``
+    keeps clusters near ``rows_per_list`` rows, so the collect_list +
+    slice never sees an unbounded group).  No window, no join.
+    """
+    from .similarity import (
+        TRAIN_ROWS_PER_LIST,
+        derive_n_lists,
+        train_ivf_centroids,
+    )
+
+    n_rows = df.count()
+    if n_lists is None:
+        n_lists = derive_n_lists(n_rows, rows_per_list)
+    dim = len(df.select(vec_col).first()[0])
+    centroids = train_ivf_centroids(
+        df,
+        dim,
+        n_lists=n_lists,
+        seed=seed,
+        sample_rows=max(10_000, TRAIN_ROWS_PER_LIST * n_lists),
+        vec_col=vec_col,
+        id_col=id_col,
+        n_rows=n_rows,
+    )
+    assigned = with_cluster_dist(df, centroids, vec_col=vec_col).select(
+        F.col("__cd.cluster").alias("cluster"),
+        F.col("__cd.d2").alias("__d2"),
+        F.col(id_col),
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("__d2", F.col(id_col)))
+                ),
+                1,
+                per_cluster,
+            ).alias("__top"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select(
+            "cluster",
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+            F.explode("__top").alias("__t"),
+        )
+        .select(
+            "cluster",
+            F.col(f"__t.{id_col}").alias(id_col),
+            F.round(F.col("__t.__d2"), 6).alias("dist_sq"),
+            "cluster_size",
+        )
     )

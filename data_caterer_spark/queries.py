@@ -3847,6 +3847,30 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "probe string, met boolean")
 
 
+def _diversity_sample_oracle() -> str:
+    from .golden import diversity_sample_golden_sql
+
+    return diversity_sample_golden_sql(per_cluster=2)
+
+
+@_q("diversity_cluster_sample", _diversity_sample_oracle)
+def diversity_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space diversity selection: k-means the corpus (derived
+    cluster count, seeded hash-sampled training — the IVF recipe) and
+    keep each cluster's 2 most-central members, so the subset covers
+    every region of embedding space — the cluster-coverage sampling that
+    diversifies instruction-tuning subsets where top-k-by-quality alone
+    collapses onto one mode.  Bounded driver-side training + one
+    broadcast-matmul assignment + ONE combinable groupBy (cluster sizes
+    are capped by the derived list count); no window, no join.  Oracle =
+    the sequential shared-kernel replay
+    (golden.diversity_sample_golden_sql)."""
+    from .operators.selection import diversity_cluster_sample as dcs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return dcs(emb, per_cluster=2).orderBy("cluster", "vec_id")
+
+
 def _pii_provenance_oracle() -> str:
     from .golden import pii_provenance_golden_sql
 
@@ -3932,6 +3956,7 @@ _DRIVER_PRIORITY = [
     "bloom_paragraph_dedup",
     "pii_provenance_profile",
     "template_turn_counts",
+    "diversity_cluster_sample",
     "gopher_rule_decisions",
     "c4_filter_decisions",
     "web_quality_funnel",

@@ -157,3 +157,49 @@ def test_one_scan_pair_fit_matches_two_scans(spark):
         ).collect()
     ]
     assert sel_two == sel_one
+
+
+def test_diversity_cluster_sample_bounds_and_coverage(spark):
+    import numpy as np
+    from data_caterer_spark.operators.selection import (
+        diversity_cluster_sample,
+    )
+
+    # 3 well-separated blobs of 40 rows each -> derived n_lists = 2..4;
+    # every cluster must surface, each contributing <= per_cluster rows
+    rng = np.random.RandomState(7)
+    rows = []
+    for b, center in enumerate([0.0, 10.0, -10.0]):
+        for i in range(40):
+            vec = (center + 0.01 * rng.randn(8)).tolist()
+            rows.append((b * 1000 + i, [float(x) for x in vec]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = diversity_cluster_sample(
+        df, per_cluster=2, rows_per_list=40
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert all(len(v) <= 2 for v in by_cluster.values())
+    # cluster sizes reported; every input row is assigned somewhere
+    assert sum(v[0]["cluster_size"] for v in by_cluster.values()) == 120
+    # well-separated blobs force >= 2 clusters; distances are valid
+    assert len(by_cluster) >= 2
+    assert all(r["dist_sq"] >= 0.0 for r in out)
+
+
+def test_diversity_cluster_sample_plan_no_window(spark):
+    from data_caterer_spark.operators.selection import (
+        diversity_cluster_sample,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        diversity_cluster_sample(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1  # one assignment crossing
