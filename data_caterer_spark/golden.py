@@ -1547,3 +1547,58 @@ def diversity_sample_golden_sql(
                 f"CAST({len(members)} AS INTEGER))"
             )
     return _values_sql(rows, "cluster, vec_id, dist_sq, cluster_size")
+
+
+def tokenizer_fertility_golden_sql(
+    sf_dir: "str | None" = None,
+    n_merges: int = 200,
+    min_freq: int = 2,
+    max_vocab_rows: "int | None" = 100_000,
+) -> str:
+    """Sequential replay of per-language tokenizer fertility: the same
+    BPE train (shared kernels, same caps), then per lang: docs, token
+    sum, UTF-8 byte sum, bytes/token."""
+    from .functions.bpe import (
+        cap_word_counts,
+        split_words,
+        tokenize_text,
+        train_bpe,
+    )
+
+    import duckdb
+
+    sf = sf_dir or _oracle_sf_dir()
+    docs = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM "
+        f"read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    counts: dict[str, int] = {}
+    for _id, text, _lang in docs:
+        for w in split_words(text):
+            counts[w] = counts.get(w, 0) + 1
+    counts = cap_word_counts(
+        counts, min_freq=min_freq, max_vocab_rows=max_vocab_rows
+    )
+    ranks = {p: i for i, p in enumerate(train_bpe(counts, n_merges))}
+    agg: dict[str, list[int]] = {}
+    for _id, text, lang in docs:
+        if text is None:
+            continue
+        toks = tokenize_text(text, ranks)
+        a = agg.setdefault(lang, [0, 0, 0])
+        a[0] += 1
+        a[1] += len(toks)
+        a[2] += len(text.encode("utf-8"))
+    rows = []
+    for lang in sorted(agg):
+        n_docs, n_toks, n_bytes = agg[lang]
+        bpt = _spark_round(n_bytes / n_toks, 6) if n_toks else None
+        bpt_sql = f"CAST('{bpt!r}' AS DOUBLE)" if bpt is not None else "NULL"
+        rows.append(
+            f"('{lang}', CAST({n_docs} AS INTEGER), "
+            f"CAST({n_toks} AS BIGINT), CAST({n_bytes} AS BIGINT), "
+            f"{bpt_sql})"
+        )
+    return _values_sql(
+        rows, "lang, n_docs, n_tokens, n_bytes, bytes_per_token"
+    )

@@ -3847,6 +3847,49 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "probe string, met boolean")
 
 
+def _tokenizer_fertility_oracle() -> str:
+    from .golden import tokenizer_fertility_golden_sql
+
+    return tokenizer_fertility_golden_sql()
+
+
+@_q("tokenizer_fertility_by_lang", _tokenizer_fertility_oracle)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-evaluation fertility: per language, UTF-8 bytes per BPE
+    token under the corpus-trained tokenizer — the standard signal for
+    how well a vocabulary serves each language in a multilingual mix
+    (low-resource languages with poor coverage show inflated fertility,
+    i.e. fewer bytes per token).  Reuses the BPE trainer's one bounded
+    word-frequency shuffle + broadcast-ranks Arrow tokenization, then
+    ONE combinable per-language aggregate."""
+    from .functions.bpe import train_bpe_on_corpus, with_bpe_tokens
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    merges = train_bpe_on_corpus(
+        docs, n_merges=200, min_freq=2, max_vocab_rows=100_000
+    )
+    toks = with_bpe_tokens(_fan_out(docs), merges, tokens_col="__toks")
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum(F.size("__toks")).cast("long").alias("n_tokens"),
+            F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_bytes",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_bytes") / F.col("n_tokens"), 6),
+            ).alias("bytes_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _diversity_sample_oracle() -> str:
     from .golden import diversity_sample_golden_sql
 
@@ -3957,6 +4000,7 @@ _DRIVER_PRIORITY = [
     "pii_provenance_profile",
     "template_turn_counts",
     "diversity_cluster_sample",
+    "tokenizer_fertility_by_lang",
     "gopher_rule_decisions",
     "c4_filter_decisions",
     "web_quality_funnel",
