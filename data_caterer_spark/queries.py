@@ -4039,8 +4039,8 @@ _DRIVER_PRIORITY = [
     "pretrain_packing_bins",
     "plan_run_end_to_end",
     # round-4 rotation: queries whose last driver row is r02 (rotated out
-    # of r03's 50-query cap) run next.  With 27 new + 5 changed entries
-    # above, the cap reaches 18 rows into this block; the ordering inside
+    # of r03's 50-query cap) run next.  With 33 new + 5 changed entries
+    # above, the cap reaches 12 rows into this block; the ordering inside
     # it puts behavior-rich pipelines first and golden-replayed /
     # long-green generators and media codecs last (those stay covered by
     # driver_sim 102/102 and the sf0.001 pytest gate even when they miss
