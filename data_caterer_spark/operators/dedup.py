@@ -1341,3 +1341,97 @@ def template_turn_counts(
             .alias("n_template_turns"),
         )
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): remove every token that lies inside
+    a substring of >= k tokens shared verbatim with another document.
+
+    The paper builds suffix arrays; the Spark-first re-expression uses
+    OVERLAPPING k-token windows, which is EXACT for this semantics: a
+    duplicated substring of length >= k contains only duplicated
+    k-windows covering it, and any duplicated k-window is itself a
+    duplicated k-substring — so "tokens covered by some cross-document
+    duplicated k-window" is precisely the paper's per-token mark, with
+    no suffix array and no pairwise comparison.
+
+    Scale shape (everything linear in corpus tokens, NO doc-pair path):
+    window hashing shuffles (xxhash64, doc) longs once with a map-side
+    combine; the duplicated-hash set comes back as a 1:1 equi-join on
+    the hash (marking never pairs documents, so a window duplicated in
+    a million docs costs a million MARKS, not a trillion pairs); token
+    cover explodes (doc, token_idx) ints; reassembly groups by the doc
+    id, bounded by document length.  Returns (id, n_tokens,
+    n_dup_tokens, clean_text) for non-null-text rows.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), toks.alias("__t")
+    )
+    # overlapping windows: start positions 1..n-k+1 (1-based slice)
+    wins = base.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("__t") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(
+                            F.array_join(F.slice("__t", i, k), " ")
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,h:long>>"))
+        ).alias("w"),
+    ).select("id", "w.pos", "w.h")
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("id").alias("d"))
+        .where(F.col("d") >= min_docs)
+        .select("h")
+    )
+    # 1:1 mark per window (left semi): no document pairing anywhere
+    dup_wins = wins.join(dup_hashes, "h", "left_semi")
+    covered = dup_wins.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+        ).alias("ti"),
+    ).distinct()
+    toks_pos = base.select(
+        "id", F.posexplode("__t").alias("ti0", "tok")
+    ).select("id", (F.col("ti0") + 1).alias("ti"), "tok")
+    kept = toks_pos.join(covered, ["id", "ti"], "left_anti")
+    totals = base.select(
+        "id", F.size("__t").alias("n_tokens")
+    )
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ti", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return (
+        totals.join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_dup_tokens"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

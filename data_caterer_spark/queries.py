@@ -3847,6 +3847,66 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "probe string, met boolean")
 
 
+@_q(
+    "exact_substring_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wins AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS w
+      FROM toks, (SELECT unnest(generate_series(1, 100000)) AS i)
+      WHERE i <= len(t) - 7
+    ),
+    dups AS (
+      SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (SELECT doc_id, pos FROM wins SEMI JOIN dups USING (w)),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + j AS ti
+      FROM marked, (SELECT unnest(generate_series(0, 7)) AS j)
+    ),
+    tp AS (
+      SELECT doc_id, i AS ti, t[i] AS tok
+      FROM toks, (SELECT unnest(generate_series(1, 100000)) AS i)
+      WHERE i <= len(t)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.ti, tp.tok
+      FROM tp ANTI JOIN covered USING (doc_id, ti)
+    ),
+    reass AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean,
+             count(*) AS keptn
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, len(t) AS n FROM toks)
+    SELECT t.doc_id,
+           CAST(t.n AS INTEGER) AS n_tokens,
+           CAST(t.n - coalesce(r.keptn, 0) AS INTEGER) AS n_dup_tokens,
+           md5(coalesce(r.clean, '')) AS clean_md5
+    FROM tot t LEFT JOIN reass r ON t.doc_id = r.doc_id
+    """,
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022): every token inside a >= 8-
+    token substring shared verbatim with another document is removed.
+    The suffix-array method re-expressed with OVERLAPPING k-windows —
+    exact for the per-token semantics, linear in corpus tokens, and with
+    NO document-pair path anywhere (a window duplicated in a million
+    docs costs a million marks, not a trillion pairs).  Oracle = the
+    identical windows/mark/cover/reassemble computation in DuckDB."""
+    docs = _read(spark, sf_dir, "documents")
+    out = D.exact_substring_dedup(docs, k=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_tokens",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
 def _tokenizer_fertility_oracle() -> str:
     from .golden import tokenizer_fertility_golden_sql
 
@@ -4001,6 +4061,7 @@ _DRIVER_PRIORITY = [
     "template_turn_counts",
     "diversity_cluster_sample",
     "tokenizer_fertility_by_lang",
+    "exact_substring_dedup",
     "gopher_rule_decisions",
     "c4_filter_decisions",
     "web_quality_funnel",

@@ -338,3 +338,59 @@ def test_winnowing_hot_fingerprint_cap_bounds_block(spark):
         freq.where(_F.col("df") <= 10).agg(_F.max("df")).first()[0]
     )
     assert rare_max is not None and rare_max <= 10
+
+
+def test_exact_substring_dedup_marks_only_shared_tokens(spark):
+    from data_caterer_spark.operators.dedup import exact_substring_dedup
+
+    shared = "one two three four five six seven eight nine ten"  # 10 toks
+    rows = [
+        (1, f"A B C {shared} X Y Z"),  # 16 tokens, 10 dup
+        (2, f"{shared} P Q"),  # 12 tokens, 10 dup
+        (3, "totally unrelated words that appear exactly once here ok"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(df, k=8, min_docs=2).collect()
+    }
+    # overlapping 8-windows of the shared 10-token run cover exactly
+    # those 10 tokens in both docs; flanks are untouched
+    assert got[1]["n_tokens"] == 16 and got[1]["n_dup_tokens"] == 10
+    assert got[1]["clean_text"] == "A B C X Y Z"
+    assert got[2]["n_tokens"] == 12 and got[2]["n_dup_tokens"] == 10
+    assert got[2]["clean_text"] == "P Q"
+    assert got[3]["n_dup_tokens"] == 0
+    assert 4 not in got  # null text excluded
+
+
+def test_exact_substring_dedup_short_docs_pass_through(spark):
+    from data_caterer_spark.operators.dedup import exact_substring_dedup
+
+    df = spark.createDataFrame(
+        [(1, "short doc"), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(df, k=8, min_docs=2).collect()
+    }
+    # < k tokens: no windows exist, nothing can be marked
+    assert got[1]["n_dup_tokens"] == 0 and got[1]["clean_text"] == "short doc"
+    assert got[3]["n_tokens"] == 1 and got[3]["clean_text"] == ""
+
+
+def test_exact_substring_dedup_plan_has_no_pair_join(spark):
+    from data_caterer_spark.operators.dedup import exact_substring_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        exact_substring_dedup(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
