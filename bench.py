@@ -61,6 +61,8 @@ HEADLINE = [
     "url_filter_decisions",     # crawl-hygiene URL rules + broadcast blocklist
     "top_ngram_heavy_hitters",  # corpus wordcount + TakeOrderedAndProject
     "web_quality_funnel",       # C4 -> Gopher -> flagship banks, one scan
+    "bloom_paragraph_dedup",    # fixed-RAM Bloom bitmap batch-vs-history dedup
+    "exact_substring_dedup",    # overlapping-window ExactSubstr token marking
 ]
 
 
