@@ -3848,6 +3848,63 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "bucketed_join_revenue",
+    """
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via BUCKETED storage: both sides are
+    written ``bucketBy``/``sortBy`` on the join key (the layout a 100 TB
+    pipeline maintains for its hot fact/dimension keys), so the
+    sort-merge join reads pre-partitioned, pre-sorted buckets — the ONLY
+    exchange in the whole plan is the final per-nation aggregate's
+    (pinned by ``tests/test_bucketing.py``).  Murmur3 bucket placement
+    is stable across writes, so incremental appends stay co-located."""
+    import tempfile
+
+    from .sources.io import write_bucketed
+
+    base = tempfile.mkdtemp(prefix="dcs-bucketed-")
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    write_bucketed(
+        orders.select("o_custkey", "o_totalprice"),
+        "dcs_orders_bucketed",
+        ["o_custkey"],
+        n_buckets=8,
+        sort_cols=["o_custkey"],
+        path=f"{base}/orders",
+    )
+    write_bucketed(
+        customer.select("c_custkey", "c_nationkey"),
+        "dcs_customer_bucketed",
+        ["c_custkey"],
+        n_buckets=8,
+        sort_cols=["c_custkey"],
+        path=f"{base}/customer",
+    )
+    o = spark.table("dcs_orders_bucketed")
+    c = spark.table("dcs_customer_bucketed")
+    joined = o.hint("merge").join(
+        c, o["o_custkey"] == c["c_custkey"]
+    )
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@_q(
     "exact_substring_dedup",
     """
     WITH toks AS (
@@ -4062,6 +4119,7 @@ _DRIVER_PRIORITY = [
     "diversity_cluster_sample",
     "tokenizer_fertility_by_lang",
     "exact_substring_dedup",
+    "bucketed_join_revenue",
     "gopher_rule_decisions",
     "c4_filter_decisions",
     "web_quality_funnel",

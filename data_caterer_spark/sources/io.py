@@ -139,3 +139,35 @@ def write_sink(
         writer.save(path)
     else:
         raise ValueError("one of path/table required")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 8,
+    sort_cols: "Sequence[str] | None" = None,
+    path: "str | None" = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sort-ordered) table write — Spark's
+    pre-shuffled storage layout: both sides of an equi-join bucketed and
+    sorted on the join key read ALREADY co-partitioned and ordered, so
+    the join plans with NO Exchange and NO Sort — the layout a 100 TB
+    pipeline maintains for its fact/dimension keys so every downstream
+    join and groupBy on that key is shuffle-free.
+
+    Bucketed writes go through the session catalog (``saveAsTable``);
+    ``path`` makes it an external table.  The bucket function is
+    Murmur3 on the bucket columns — stable across writes, so INCREMENTAL
+    appends land in the same bucket files."""
+    if df.sparkSession.catalog.tableExists(table):
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = df.write.format(fmt).mode(mode)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
