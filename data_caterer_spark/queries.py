@@ -4111,8 +4111,197 @@ def bloom_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: rows get refreshed; see COVERAGE.md for the rotation rationale.  This
 #: reorders only the registration dict — names, callables and oracles are
 #: untouched.
+@_q(
+    "asof_last_click",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts, event_id, value
+        FROM events WHERE event_type = 'click'
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ), purchases AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           c.event_id AS click_id,
+           round(c.value, 2) AS click_value,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase is aligned to the user's most
+    recent prior (or same-instant) click — attribution / event-alignment,
+    the classic temporal join Spark lacks natively.  Implemented with the
+    union trick (operators/temporal.py asof_join): ONE exchange, a
+    running last(ignorenulls) — NO join operator, so a hot user is a sort,
+    never an O(n*m) block.  Oracle = DuckDB's native ASOF LEFT JOIN with
+    a deterministic (user, ts) tiebreak mirrored by asof_join's __tie."""
+    from .operators.temporal import asof_join, epoch_us
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id", "value"],
+        prefix="asof_",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("click_id"),
+        F.round("asof_value", 2).alias("click_value"),
+        (epoch_us("ts") - epoch_us("asof_ts")).alias("gap_us"),
+    )
+
+
+@_q(
+    "interval_incident_counts",
+    """
+    WITH i AS (
+        SELECT event_id AS incident_id,
+               ts AS i_start,
+               ts + INTERVAL 10 MINUTE AS i_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT i.incident_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           round(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS sum_value
+    FROM i JOIN events e ON e.ts >= i.i_start AND e.ts < i.i_end
+    GROUP BY i.incident_id
+    """,
+)
+def interval_incident_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × point range join at equi-join cost: every error event
+    opens a 10-minute incident window; count the events (and users, and
+    fixed-point value sum) landing inside each.  A naive ``ts BETWEEN``
+    join is a BroadcastNestedLoopJoin; interval_bin_join
+    (operators/temporal.py) derives a time-bin equi key instead — each
+    interval explodes into <=2 bins, each event carries exactly ONE, so
+    pairs join once and the plan is a plain shuffled equi-join.  Oracle =
+    the naive range join, which DuckDB executes natively (IEJoin)."""
+    from .operators.temporal import interval_bin_join
+
+    ev = _read(spark, sf_dir, "events")
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("i_start"),
+        F.expr("ts + INTERVAL 10 MINUTES").alias("i_end"),
+    )
+    points = ev.select("user_id", "ts", "value")
+    joined = interval_bin_join(
+        incidents, points, "i_start", "i_end", "ts", bin_width_s=600
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")) / 100.0, 2
+        ).alias("sum_value"),
+    )
+
+
+@_q(
+    "cdc_latest_state",
+    """
+    WITH latest AS (
+        SELECT user_id, event_id, event_type, value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_type,
+           round(value, 2) AS last_value
+    FROM latest WHERE event_type <> 'error'
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-row-wins compaction (mutable-corpus snapshot): the
+    event log is a changelog keyed by user, ordered by (ts, event_id),
+    with 'error' rows acting as tombstones — a user whose FINAL row is a
+    tombstone leaves the snapshot.  latest_snapshot
+    (operators/temporal.py) spells this as one max_by(struct, struct)
+    aggregate with map-side partial combine (hot key = one row of state
+    per task), not the partition-buffering row_number()=1 window the
+    oracle uses."""
+    from .operators.temporal import latest_snapshot
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    latest = latest_snapshot(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        delete_predicate=F.col("event_type") == "error",
+    )
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+@_q(
+    "rolling_user_activity",
+    """
+    SELECT event_id,
+           user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                      AS BIGINT) / 100.0, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour activity frame (burst / rate-limit
+    features): count and fixed-point value sum over a RANGE window ending
+    at each event.  time_range_window (operators/temporal.py) orders by
+    unix_micros so the Spark frame bound is exact integer microseconds —
+    identical to the oracle's INTERVAL RANGE frame; the fixed-point
+    int64 sum keeps the rolling double order-independent (memory: always
+    fixed-point when a float sum feeds the hash gate)."""
+    from .operators.temporal import time_range_window
+
+    ev = _read(spark, sf_dir, "events")
+    w = time_range_window(["user_id"], "ts", preceding_s=3600)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).over(w)
+            / 100.0,
+            2,
+        ).alias("sum_1h"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "asof_last_click",
+    "interval_incident_counts",
+    "cdc_latest_state",
+    "rolling_user_activity",
     "bloom_paragraph_dedup",
     "pii_provenance_profile",
     "template_turn_counts",
