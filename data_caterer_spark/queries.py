@@ -4296,8 +4296,107 @@ def rolling_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sft_context_assembly",
+    """
+    SELECT event_id,
+           user_id,
+           coalesce(array_to_string(
+               list(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '>'), '')
+               AS context,
+           event_type AS target
+    FROM events
+    """,
+)
+def sft_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT training-example assembly: each turn becomes (context, target)
+    where the context is the ordered last-k preceding turns of the same
+    conversation — the window-frame ``collect_list`` spelling, ONE
+    shuffle+sort per conversation key with a bounded k-row frame buffer
+    (never the whole partition), which is how context windows stay
+    memory-safe on a 10^6-turn hot conversation.  Frame order is pinned
+    by the (ts, event_id) sort, so the concatenation is deterministic;
+    empty frames coalesce to '' on both sides."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.array_join(F.collect_list("event_type").over(w), ">").alias(
+            "context"
+        ),
+        F.col("event_type").alias("target"),
+    )
+
+
+@_q(
+    "preference_pair_mining",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type, event_id, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY value DESC, event_id DESC)
+                   AS rmax,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY value ASC, event_id ASC) AS rmin
+        FROM events
+    )
+    SELECT r1.user_id, r1.event_type,
+           r1.event_id AS chosen_id,
+           round(r1.value, 2) AS chosen_value,
+           r2.event_id AS rejected_id,
+           round(r2.value, 2) AS rejected_value,
+           round(r1.value - r2.value, 2) AS margin
+    FROM ranked r1 JOIN ranked r2 USING (user_id, event_type)
+    WHERE r1.rmax = 1 AND r2.rmin = 1
+      AND r1.event_id <> r2.event_id
+      AND r1.value - r2.value >= 5.0
+    """,
+)
+def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction: per (conversation, action)
+    group, pair the best-scored sample against the worst when the margin
+    clears a threshold.  ONE ``max_by``/``min_by`` aggregate with
+    map-side partial combine — a hot group keeps two rows of state per
+    task; the oracle's double row_number window (which buffers and sorts
+    whole partitions) is exactly the spelling this avoids at 10^12 rows.
+    Ties break on event_id inside the ordering struct, so the pick is
+    deterministic on both sides."""
+    ev = _read(spark, sf_dir, "events")
+    pairs = ev.groupBy("user_id", "event_type").agg(
+        F.max_by(
+            F.struct("event_id", "value"), F.struct("value", "event_id")
+        ).alias("chosen"),
+        F.min_by(
+            F.struct("event_id", "value"), F.struct("value", "event_id")
+        ).alias("rejected"),
+    )
+    return pairs.where(
+        (F.col("chosen.event_id") != F.col("rejected.event_id"))
+        & (F.col("chosen.value") - F.col("rejected.value") >= 5.0)
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("chosen.event_id").alias("chosen_id"),
+        F.round("chosen.value", 2).alias("chosen_value"),
+        F.col("rejected.event_id").alias("rejected_id"),
+        F.round("rejected.value", 2).alias("rejected_value"),
+        F.round(F.col("chosen.value") - F.col("rejected.value"), 2).alias(
+            "margin"
+        ),
+    )
+
+
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "sft_context_assembly",
+    "preference_pair_mining",
     "asof_last_click",
     "interval_incident_counts",
     "cdc_latest_state",

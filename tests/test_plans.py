@@ -217,3 +217,17 @@ def test_fk_assignment_large_keyset_not_broadcast(spark):
         assert n_bad == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_preference_pairs_aggregate_not_window(spark, sf_dir):
+    """DPO pair mining must stay a partial-combinable aggregate: a hot
+    (conversation, action) group is two rows of task state, never a
+    buffered-and-sorted partition."""
+    from data_caterer_spark.queries import QUERIES
+
+    df = QUERIES["preference_pair_mining"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "max_by" in plan or "HashAggregate" in plan, plan
+    # margin threshold actually enforced
+    assert df.where("margin < 5.0").count() == 0
