@@ -4393,8 +4393,81 @@ def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "resumable_run_recovery",
+    """
+    WITH g AS (
+        SELECT CAST(doc_id % 8 AS INT) AS group_id,
+               (n_chars BETWEEN 100 AND 20000
+                AND lang IN ('en', 'de', 'fr')) AS keep
+        FROM documents
+    )
+    SELECT group_id,
+           CAST(count(*) AS BIGINT) AS rows_in,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS rows_kept,
+           group_id >= 4 AS resumed
+    FROM g GROUP BY group_id
+    """,
+)
+def resumable_run_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume END-TO-END under an injected mid-run crash (the
+    north rule's "resumable from checkpoint with per-partition lineage"):
+    run 1 commits groups 0-3 then dies on group 4; run 2 resumes from the
+    manifest sidecar and processes ONLY the pending groups.  The returned
+    rows come from the MANIFEST (observe-counter lineage riding each
+    group's write action), tagged by which run committed them — so the
+    driver's hash check covers the group predicate, the crash cut-point,
+    the resume skip-set, and the per-group metrics in one query.  Oracle
+    = the same rule bank aggregated per group in SQL."""
+    import tempfile
+
+    from .sources.manifest import ResumableRunner
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def pipeline_fn(df: DataFrame) -> DataFrame:
+        keep = (
+            F.col("n_chars").between(100, 20000)
+            & F.col("lang").isin("en", "de", "fr")
+        )
+        return df.select(
+            "doc_id",
+            keep.alias("keep"),
+            F.when(keep, F.array().cast("array<string>"))
+            .otherwise(F.array(F.lit("quality_gate")))
+            .alias("rule_hits"),
+        )
+
+    base = tempfile.mkdtemp(prefix="dcs-resume-")
+    runner = ResumableRunner(
+        spark,
+        out_dir=f"{base}/out",
+        manifest_dir=f"{base}/manifest",
+        n_groups=8,
+        conv_col="doc_id",
+        rule_ids=["quality_gate"],
+        group_col=F.pmod(F.col("doc_id"), F.lit(8)).cast("int"),
+    )
+    try:
+        runner.run(docs, pipeline_fn, run_id="run1", fail_on_group=4)
+    except RuntimeError:
+        pass  # the injected crash: groups 0-3 are committed, 4-7 pending
+    assert runner.pending_groups() == [4, 5, 6, 7]
+    resumed = runner.run(docs, pipeline_fn, run_id="run2")
+    assert resumed == [4, 5, 6, 7]
+    m = runner.manifest.read()
+    return m.select(
+        F.col("group_id"),
+        F.col("rows_in"),
+        F.col("rows_kept"),
+        (F.col("run_id") == "run2").alias("resumed"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "resumable_run_recovery",
     "sft_context_assembly",
     "preference_pair_mining",
     "asof_last_click",

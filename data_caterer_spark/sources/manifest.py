@@ -110,12 +110,17 @@ class ResumableRunner:
         hits_col: str = "rule_hits",
         scope: str = "default",
         rule_ids: "Sequence[str] | None" = None,
+        group_col: "F.Column | None" = None,
     ):
         self.spark = spark
         self.out_dir = out_dir
         self.manifest = ManifestSidecar(spark, manifest_dir)
         self.n_groups = n_groups
         self.conv_col = conv_col
+        # default grouping is pmod(xxhash64(key)) — uniform even on skewed
+        # keys; callers needing an externally-reproducible placement (an
+        # ANSI-SQL oracle, a partner system) pass their own expression
+        self.group_col = group_col
         self.keep_col = keep_col
         self.hits_col = hits_col
         # scope = plan/config fingerprint: manifest rows from a DIFFERENT
@@ -143,7 +148,10 @@ class ResumableRunner:
         this invocation.  ``fail_on_group`` injects a crash (tests)."""
         run_id = run_id or uuid.uuid4().hex[:12]
         grouped = df.withColumn(
-            "__group", group_expr(self.conv_col, self.n_groups)
+            "__group",
+            self.group_col
+            if self.group_col is not None
+            else group_expr(self.conv_col, self.n_groups),
         )
         processed = []
         for gid in self.pending_groups():
