@@ -239,13 +239,25 @@ def train(
     id_col: str = "doc_id",
     text_col: str = "text",
     include_bigrams: bool = True,
+    features: "DataFrame | None" = None,
 ) -> QualityClassifier:
     """Batch-GD training: per iteration ONE shuffle-free pass emitting a
     dense int64 partial gradient per partition; the driver sums the
-    integers (order-independent) and takes the float step."""
-    feat = featurize(
-        df, label, n_features, id_col, text_col, include_bigrams
-    ).persist()
+    integers (order-independent) and takes the float step.
+
+    ``features`` — a pre-built (and ideally persisted) :func:`featurize`
+    frame.  Featurization is the expensive text pass; a caller that also
+    scores should build it ONCE, train with it, then score via
+    :func:`infer_from_features` instead of re-featurizing in
+    :func:`infer`.  The caller owns its persistence."""
+    owns_feat = features is None
+    feat = (
+        featurize(
+            df, label, n_features, id_col, text_col, include_bigrams
+        ).persist()
+        if owns_feat
+        else features
+    )
     feat.count()  # pin before the iteration loop
 
     spark = df.sparkSession
@@ -306,7 +318,8 @@ def train(
             bias = bias - lr * (float(bias_g) / FIXED_SCALE / n)
             history.append(loss)
     finally:
-        feat.unpersist()
+        if owns_feat:
+            feat.unpersist()
     return QualityClassifier(
         w, bias, n_features, include_bigrams, tuple(history)
     )
@@ -369,6 +382,39 @@ def infer(
             )
 
     return src.mapInPandas(gen, _SCORE_SCHEMA)
+
+
+def infer_from_features(
+    feat: DataFrame, model: QualityClassifier
+) -> DataFrame:
+    """(doc_id, score_fixed, keep) from an existing :func:`featurize`
+    frame — skips the n-gram text pass entirely (cheap numpy dots over
+    the cached Arrow columns).  Identical math to :func:`infer`:
+    ``featurize`` stores exactly ``featurize_doc``'s output, and both
+    paths finish with ``row_margin`` + ``sigmoid`` on the same sorted
+    bucket order, so scores are bit-equal."""
+    spark = feat.sparkSession
+    bc = spark.sparkContext.broadcast((model.weights.tobytes(), model.bias))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wv, bv = bc.value
+        wloc = np.frombuffer(wv, dtype=np.float64)
+        for pdf in batches:
+            scored = []
+            for b, c, t in zip(pdf["buckets"], pdf["counts"], pdf["total"]):
+                z = row_margin(list(b), list(c), int(t), wloc, bv)
+                p = sigmoid(z) * FIXED_SCALE
+                sf = int(math.floor(p + 0.5))
+                scored.append((sf, sf >= FIXED_SCALE // 2))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "score_fixed": [s[0] for s in scored],
+                    "keep": [s[1] for s in scored],
+                }
+            )
+
+    return feat.mapInPandas(gen, _SCORE_SCHEMA)
 
 
 def train_sequential(

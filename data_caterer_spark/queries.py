@@ -1223,10 +1223,14 @@ def classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import classifier as CLS
 
     docs = _fan_out(_read(spark, sf_dir, "documents"))
+    # featurize ONCE; training iterations and scoring share the cached
+    # Arrow features (the text n-gram pass is the expensive one)
+    feat = CLS.featurize(docs, F.col("lang") == "en", 1024).persist()
     model = CLS.train(
-        docs, F.col("lang") == "en", n_features=1024, iters=6, lr=0.5
+        docs, F.col("lang") == "en", n_features=1024, iters=6, lr=0.5,
+        features=feat,
     )
-    scored = CLS.infer(docs, model).join(
+    scored = CLS.infer_from_features(feat, model).join(
         docs.select("doc_id", (F.col("lang") == "en").alias("__lbl")),
         "doc_id",
     )
@@ -3124,10 +3128,14 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import classifier as CLS
 
     docs = _fan_out(_read(spark, sf_dir, "documents"))
+    # featurize ONCE; the 6 GD passes and the scoring pass reuse the
+    # cached Arrow features instead of re-running the n-gram text pass
+    feat = CLS.featurize(docs, F.col("lang") == "en", 1024).persist()
     model = CLS.train(
-        docs, F.col("lang") == "en", n_features=1024, iters=6, lr=0.5
+        docs, F.col("lang") == "en", n_features=1024, iters=6, lr=0.5,
+        features=feat,
     )
-    return CLS.infer(docs, model).orderBy("doc_id")
+    return CLS.infer_from_features(feat, model).orderBy("doc_id")
 
 
 @_q(
