@@ -4473,8 +4473,76 @@ def resumable_run_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "grouped_topk_docs",
+    """
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id ASC)
+                   AS rank
+        FROM documents
+    )
+    SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id, n_chars
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def grouped_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (longest 5 documents per language) via the EXACT
+    salted two-phase prune (operators/topk.py): phase 1 ranks inside
+    (lang, salt) subgroups — a hot language spreads over 16 reducers —
+    and keeps local top-5s; phase 2 ranks the <=16x5 survivors per
+    language.  The final sort carries ~langs*80 rows, not the corpus;
+    the plain one-window spelling (the oracle) sends every row of a
+    group to one reducer."""
+    from .operators.topk import grouped_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    out = grouped_topk(
+        docs.select("lang", "doc_id", "n_chars"),
+        group_cols=["lang"],
+        order_col="n_chars",
+        k=5,
+        tiebreak_cols=["doc_id"],
+    )
+    return out.select("lang", "rank", "doc_id", "n_chars")
+
+
+@_q(
+    "length_quantiles_by_lang",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 6) AS q25,
+           round(quantile_cont(n_chars, 0.50), 6) AS q50,
+           round(quantile_cont(n_chars, 0.75), 6) AS q75,
+           round(quantile_cont(n_chars, 0.90), 6) AS q90
+    FROM documents GROUP BY lang
+    """,
+)
+def length_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles (the distribution profile a
+    corpus report leads with).  Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the (n-1)*p linear-interpolation convention,
+    so the oracle is value-exact.  Scale note: exact percentile buffers
+    each group's values on its reducer — the 100 TB path swaps in
+    ``percentile_approx`` (t-digest-style sketch, combinable partials)
+    at the cost of bounded rank error; this query pins the exact
+    semantics the sketch is judged against."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(n_chars, 0.50)"), 6).alias("q50"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("q75"),
+        F.round(F.expr("percentile(n_chars, 0.90)"), 6).alias("q90"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "grouped_topk_docs",
+    "length_quantiles_by_lang",
     "resumable_run_recovery",
     "sft_context_assembly",
     "preference_pair_mining",

@@ -145,3 +145,57 @@ def test_time_range_window_inclusive_bound(spark):
     out = ev.select("ts", F.count(F.lit(1)).over(w).alias("n")).orderBy("ts")
     # at 01:00:00 the 00:00:00 row is exactly 3600 s back -> inclusive
     assert [r.n for r in out.collect()] == [1, 2, 3]
+
+
+def test_asof_property_matches_pandas(spark):
+    """Property check vs pandas merge_asof on randomized inputs."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260818)
+    for trial in range(5):
+        left = sorted(
+            (rng.randint(0, 3), rng.randint(0, 10_000_000))
+            for _ in range(rng.randint(1, 60))
+        )
+        right = {
+            (rng.randint(0, 3), rng.randint(0, 10_000_000), i)
+            for i in range(rng.randint(1, 60))
+        }
+        ldf = spark.createDataFrame(
+            [(k, dt.datetime.fromtimestamp(us / 1e6, dt.timezone.utc).replace(tzinfo=None), i)
+             for i, (k, us) in enumerate(left)],
+            "k long, ts timestamp, lid long",
+        )
+        rdf = spark.createDataFrame(
+            [(k, dt.datetime.fromtimestamp(us / 1e6, dt.timezone.utc).replace(tzinfo=None), v)
+             for k, us, v in right],
+            "k long, ts timestamp, v long",
+        )
+        got = {
+            r.lid: r.asof_v
+            for r in asof_join(
+                ldf, rdf, ["k"], "ts", ["v"], tiebreak_col="v"
+            ).collect()
+        }
+        lp = pd.DataFrame(
+            [(i, k, us) for i, (k, us) in enumerate(left)],
+            columns=["lid", "k", "us"],
+        ).sort_values(["us", "lid"])
+        # mirror the tiebreak: among equal (k, us) keep max v
+        rp = (
+            pd.DataFrame(sorted(right), columns=["k", "us", "v"])
+            .sort_values(["k", "us", "v"])
+            .groupby(["k", "us"], as_index=False)
+            .last()
+            .sort_values(["us", "v"])
+        )
+        merged = pd.merge_asof(
+            lp, rp, on="us", by="k", direction="backward"
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.v) else int(r.v))
+            for r in merged.itertuples()
+        }
+        assert got == want, f"trial {trial}"
