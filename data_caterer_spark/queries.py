@@ -4539,8 +4539,78 @@ def length_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "spearman_length_tokens",
+    f"""
+    WITH base AS (
+        SELECT lang, doc_id, n_chars,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_ws
+        FROM documents
+    ), ranked AS (
+        SELECT lang,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY n_chars, doc_id)
+                    AS BIGINT) AS rx,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY n_ws, doc_id)
+                    AS BIGINT) AS ry
+        FROM base
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(1.0 - 6.0 * CAST(sum((rx - ry) * (rx - ry)) AS BIGINT)
+                 / (count(*) * (count(*) * count(*) - 1.0)), 6) AS rho
+    FROM ranked GROUP BY lang
+    """,
+)
+def spearman_length_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two quality signals (char
+    length vs whitespace-token count) per language — the feature-
+    diagnostics statistic a filter-tuning pass reads first.  Exactness
+    discipline: ranks are INTEGER permutations (ties broken by doc_id),
+    so sum(d^2) is an exact int64 and rho's float formula sees identical
+    operands on both sides — no order-dependent float accumulation.
+    Scale note: rank windows sort per group (streaming frames); at
+    corpus scale you window per (lang, shard) and combine via the
+    standard large-n approximation — this query pins the exact
+    semantics."""
+    ws = F.array_remove(F.split("text", _WS_SQL), "")
+    base = _read(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars", F.size(ws).cast("long").alias("n_ws")
+    )
+    rx = F.row_number().over(
+        Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ).cast("long")
+    ry = F.row_number().over(
+        Window.partitionBy("lang").orderBy("n_ws", "doc_id")
+    ).cast("long")
+    ranked = base.select("lang", rx.alias("rx"), ry.alias("ry"))
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(d2).alias("__sd2"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round(
+                F.lit(1.0)
+                - F.lit(6.0) * F.col("__sd2")
+                / (
+                    F.col("n_docs")
+                    * (F.col("n_docs") * F.col("n_docs") - F.lit(1.0))
+                ),
+                6,
+            ).alias("rho"),
+        )
+    )
+
+
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "spearman_length_tokens",
     "grouped_topk_docs",
     "length_quantiles_by_lang",
     "resumable_run_recovery",
