@@ -63,6 +63,8 @@ HEADLINE = [
     "web_quality_funnel",       # C4 -> Gopher -> flagship banks, one scan
     "bloom_paragraph_dedup",    # fixed-RAM Bloom bitmap batch-vs-history dedup
     "exact_substring_dedup",    # overlapping-window ExactSubstr token marking
+    "asof_last_click",          # union-trick as-of join (no join operator)
+    "grouped_topk_docs",        # salted two-phase per-group top-k
 ]
 
 
