@@ -4608,8 +4608,114 @@ def spearman_length_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "validation_error_samples",
+    """
+    WITH t AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN NOT (n_chars >= 0) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS e1,
+               CAST(sum(CASE WHEN NOT (doc_id <> 3) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS e2,
+               CAST(sum(CASE WHEN NOT (lang = 'en') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS e3
+        FROM documents
+    )
+    SELECT 'nonneg' AS rule_id, e1 AS n_errors,
+           CAST(least(5, e1) AS INT) AS n_samples,
+           e1 = 0 AS is_success, total FROM t
+    UNION ALL
+    SELECT 'one_bad', e2, CAST(least(5, e2) AS INT), e2 = 0, total FROM t
+    UNION ALL
+    SELECT 'lang_en', e3, CAST(least(5, e3) AS INT), e3 = 0, total FROM t
+    """,
+)
+def validation_error_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-sample pipeline END-TO-END under the driver gate: three
+    rules engineered to fail 0 / exactly-1 / many times, run through
+    ``validate_rules``'s bounded sample collection (per-partition capped
+    mapInPandas pre-pass -> one tiny groupBy; never a collect_list over
+    every failing row).  The hash check pins the cap invariant
+    ``n_samples = least(5, n_errors)`` plus the success semantics —
+    previously covered only by pytest."""
+    from .operators.validation import validate_rules
+
+    docs = _read(spark, sf_dir, "documents")
+    rules = [
+        field("n_chars").greater_than_or_equal(0).with_id("nonneg"),
+        field("doc_id").is_not_equal(3).with_id("one_bad"),
+        field("lang").is_equal("en").with_id("lang_en"),
+    ]
+    res = validate_rules(docs, rules, num_sample_errors=5)
+    rows = [
+        (r.rule_id, r.num_errors, len(r.sample_errors), r.is_success, r.total)
+        for r in res
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rule_id string, n_errors long, n_samples int, "
+        "is_success boolean, total long",
+    )
+
+
+@_q(
+    "rule_literal_quoting",
+    """
+    SELECT 'after_date' AS rule_id,
+           CAST(sum(CASE WHEN NOT (o_orderdate > DATE '1995-06-01')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+    FROM orders
+    UNION ALL
+    SELECT 'before_ts',
+           CAST(sum(CASE WHEN NOT (o_orderdate
+                                   < TIMESTAMP '1997-01-01 12:00:00')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'quoted_str',
+           CAST(sum(CASE WHEN contains(o_orderpriority, 'd''oh')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'type_ok', CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'type_mismatch', CAST(count(*) AS BIGINT) FROM orders
+    """,
+)
+def rule_literal_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE / TIMESTAMP / escaped-string literal rendering
+    (``lit_sql``, the reference's ``colValueToString`` mirror) and
+    ``hasType`` checked against REAL data under the driver gate: Python
+    date/datetime/quote-bearing-string rule values flow through the SQL
+    renderer into violation counts that must match the oracle's typed
+    literals; the deliberate type-mismatch rule fails every row."""
+    import datetime as _dt
+
+    from .operators.validation import validate_rules
+
+    orders = _read(spark, sf_dir, "orders")
+    rules = [
+        field("o_orderdate")
+        .greater_than(_dt.date(1995, 6, 1))
+        .with_id("after_date"),
+        field("o_orderdate")
+        .less_than(_dt.datetime(1997, 1, 1, 12, 0, 0))
+        .with_id("before_ts"),
+        field("o_orderpriority").not_contains("d'oh").with_id("quoted_str"),
+        field("o_totalprice").has_type("double").with_id("type_ok"),
+        field("o_orderkey").has_type("string").with_id("type_mismatch"),
+    ]
+    res = validate_rules(orders, rules, num_sample_errors=0)
+    return spark.createDataFrame(
+        [(r.rule_id, r.num_errors) for r in res],
+        "rule_id string, n_errors long",
+    )
+
+
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "validation_error_samples",
+    "rule_literal_quoting",
     "spearman_length_tokens",
     "grouped_topk_docs",
     "length_quantiles_by_lang",
