@@ -4764,18 +4764,23 @@ _DRIVER_PRIORITY = [
     # round-3-fresh entries whose operators changed THIS round (bpe
     # vocab caps, semdedup skew guard, winnowing cap, concat_pack exact
     # div): behavior changes outrank long-green staleness, so these sit
-    # ABOVE the r02-stale block — the 50-query cap must include them
+    # ABOVE the r02-stale block.  With 47 never-checked entries ahead,
+    # the 50-cap covers the first THREE; pretrain_packing_bins (exact
+    # div — observable only past 2^53, identical at sf0.01) and
+    # plan_run_end_to_end (checkpoint pinning — hash-identical output)
+    # are the right two to fall past the cap: their changes cannot move
+    # the sf0.01 hash, and driver_sim 122/122 + the sf0.001 pytest gate
+    # still cover them
     "bpe_token_counts",
     "semantic_dedup_drops",
     "winnowing_overlap",
     "pretrain_packing_bins",
     "plan_run_end_to_end",
     # round-4 rotation: queries whose last driver row is r02 (rotated out
-    # of r03's 50-query cap) run next.  With 33 new + 5 changed entries
-    # above, the cap reaches 12 rows into this block; the ordering inside
-    # it puts behavior-rich pipelines first and golden-replayed /
+    # of r03's 50-query cap) run next; the ordering inside this block
+    # puts behavior-rich pipelines first and golden-replayed /
     # long-green generators and media codecs last (those stay covered by
-    # driver_sim 102/102 and the sf0.001 pytest gate even when they miss
+    # driver_sim 122/122 and the sf0.001 pytest gate even when they miss
     # a capped round)
     "doc_quality_filter",
     "transcript_quality_filter",
