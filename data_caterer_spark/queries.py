@@ -4712,8 +4712,117 @@ def rule_literal_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MARQUEZ_SAMPLE = {
+    "name": "transcripts_raw",
+    "fields": [
+        {"name": "conv_id", "type": "VARCHAR"},
+        {"name": "turn_idx", "type": "INTEGER"},
+        {"name": "role", "type": "VARCHAR"},
+        {"name": "score", "type": "DOUBLE"},
+        {"name": "ts", "type": "TIMESTAMP"},
+    ],
+}
+
+_OPENMETADATA_SAMPLE = {
+    "columns": [
+        {"name": "doc_id", "dataType": "BIGINT"},
+        {"name": "text", "dataType": "STRING"},
+        {"name": "flags", "dataType": "ARRAY", "arrayDataType": "STRING"},
+    ]
+}
+
+
+@_q(
+    "metadata_schema_import",
+    """
+    SELECT * FROM (VALUES
+        ('marquez', 'transcripts_raw', 'conv_id',  'string',    'string'),
+        ('marquez', 'transcripts_raw', 'turn_idx', 'int',       'int'),
+        ('marquez', 'transcripts_raw', 'role',     'string',    'string'),
+        ('marquez', 'transcripts_raw', 'score',    'double',    'double'),
+        ('marquez', 'transcripts_raw', 'ts',       'timestamp', 'timestamp'),
+        ('openmetadata', 'table', 'doc_id', 'long',   'bigint'),
+        ('openmetadata', 'table', 'text',   'string', 'string'),
+        ('openmetadata', 'table', 'flags',  'array',  'array<string>')
+    ) AS t(source, dataset, field, declared_type, generated_type)
+    """,
+)
+def metadata_schema_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-source schema import END-TO-END under the driver gate:
+    Marquez and OpenMetadata documents (the reference's two metadata
+    integrations, `MarquezMetadata.scala` / `OpenMetadata.scala`) parse
+    into FieldSpecs, the specs GENERATE a table, and the emitted rows
+    pair each declared type with the dtype Spark actually produced —
+    checking the type mapping, not just the parse."""
+    from .operators.generator import generate
+    from .operators.metadata import (
+        from_marquez,
+        from_openmetadata,
+        marquez_dataset_name,
+    )
+
+    rows = []
+    mq = from_marquez(_MARQUEZ_SAMPLE)
+    ds = marquez_dataset_name(_MARQUEZ_SAMPLE)
+    gen = generate(spark, mq, 4)
+    dtypes = dict(gen.dtypes)
+    rows.extend(
+        ("marquez", ds, s.name, s.type, dtypes[s.name]) for s in mq
+    )
+    om = from_openmetadata(_OPENMETADATA_SAMPLE)
+    for tname, specs in om.items():
+        gen2 = generate(spark, specs, 4)
+        d2 = dict(gen2.dtypes)
+        rows.extend(
+            ("openmetadata", tname, s.name, s.type, d2[s.name])
+            for s in specs
+        )
+    return spark.createDataFrame(
+        rows,
+        "source string, dataset string, field string, "
+        "declared_type string, generated_type string",
+    )
+
+
+@_q(
+    "write_omit_projection",
+    """
+    WITH cols AS (
+        SELECT * FROM (VALUES ('doc_id'), ('lang'), ('source'), ('n_chars'))
+            AS c(column_name)
+    )
+    SELECT column_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows
+    FROM cols
+    """,
+)
+def write_omit_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Omit-column sink projection (`SinkFactory.scala:113-120` — debug/
+    score columns dropped at the sink unless kept) checked end-to-end:
+    documents written with ``omit_cols=['text']``, read back, and the
+    read-back SCHEMA (one row per surviving column) plus the row count
+    must match the oracle — proving the dropped column never reached
+    storage and nothing else was lost."""
+    import tempfile
+
+    from .sources.io import write_sink
+
+    docs = _read(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="dcs-omit-") + "/out"
+    write_sink(docs, "parquet", path=path, mode="overwrite",
+               omit_cols=["text"])
+    back = spark.read.parquet(path)
+    n = back.count()
+    assert "text" not in back.columns
+    return spark.createDataFrame(
+        [(c, n) for c in back.columns], "column_name string, n_rows long"
+    )
+
+
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "metadata_schema_import",
+    "write_omit_projection",
     "validation_error_samples",
     "rule_literal_quoting",
     "spearman_length_tokens",
