@@ -4819,8 +4819,58 @@ def write_omit_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "inference_field_specs",
+    """
+    SELECT 'o_orderkey' AS field, 'long' AS type,
+           CAST(min(o_orderkey) AS VARCHAR) || '..'
+               || CAST(max(o_orderkey) AS VARCHAR) AS detail
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', 'long',
+           CAST(min(o_custkey) AS VARCHAR) || '..'
+               || CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', 'oneOf',
+           (SELECT array_to_string(list_sort(list(DISTINCT o_orderstatus)),
+                                   '|') FROM orders)
+    UNION ALL
+    SELECT 'o_orderpriority', 'oneOf',
+           (SELECT array_to_string(list_sort(list(DISTINCT
+                                                  o_orderpriority)), '|')
+            FROM orders)
+    """,
+)
+def inference_field_specs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile -> FieldSpec inference under the driver gate
+    (``MetadataUtil.scala:43-112`` + the oneOf thresholds
+    ``Constants.scala:175-176``): ONE aggregate pass profiles orders,
+    the oneOf rule (count>=1000, distinct/count<=0.2, distinct<=100)
+    fires for the two categorical fields, numeric fields carry min..max
+    bounds.  The categorical distinct counts sit deep inside HLL's
+    exact sparse range, so the approx profile is value-stable against
+    the oracle's exact DISTINCT."""
+    from .operators.inference import infer_field_specs
+
+    orders = _read(spark, sf_dir, "orders")
+    specs = infer_field_specs(
+        orders,
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+    rows = []
+    for s in specs:
+        if s.type == "oneOf":
+            detail = "|".join(str(v) for v in s.one_of)
+        else:
+            detail = f"{s.min}..{s.max}"
+        rows.append((s.name, s.type, detail))
+    return spark.createDataFrame(rows, "field string, type string, detail string")
+
+
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "inference_field_specs",
     "metadata_schema_import",
     "write_omit_projection",
     "validation_error_samples",
