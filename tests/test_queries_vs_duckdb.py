@@ -36,10 +36,18 @@ def _norm(v):
     return v
 
 
+def _row_key(t):
+    # total order even with NULLs mixed into numeric columns (None is
+    # not <-comparable with int); identical on both sides, so any
+    # consistent order works for the equality check
+    return tuple((v is None, str(v)) for v in t)
+
+
 def _spark_rows(df):
     cols = sorted(df.columns)
     return sorted(
-        tuple(_norm(r[c]) for c in cols) for r in df.collect()
+        (tuple(_norm(r[c]) for c in cols) for r in df.collect()),
+        key=_row_key,
     ), cols
 
 
@@ -48,7 +56,8 @@ def _duck_rows(con, sql):
     cols = [d[0] for d in cur.description]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = sorted(
-        tuple(_norm(r[i]) for i in order) for r in cur.fetchall()
+        (tuple(_norm(r[i]) for i in order) for r in cur.fetchall()),
+        key=_row_key,
     )
     return rows, sorted(cols)
 
