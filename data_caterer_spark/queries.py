@@ -4868,8 +4868,134 @@ def inference_field_specs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "field string, type string, detail string")
 
 
+@_q(
+    "schema_evolution_merge",
+    """
+    SELECT 'doc_id' AS column_name,
+           CAST(count(doc_id) AS BIGINT) AS n_nonnull
+    FROM documents
+    UNION ALL SELECT 'text', CAST(count(text) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'lang',
+           CAST(count(CASE WHEN doc_id >= 250 THEN lang END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars',
+           CAST(count(CASE WHEN doc_id >= 250 THEN n_chars END) AS BIGINT)
+    FROM documents
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches (the 100 TB reality: a
+    corpus written over months gains columns): batch 1 carries
+    (doc_id, text), batch 2 adds (lang, n_chars); a ``mergeSchema`` read
+    unions the schemas and back-fills nulls for the old batch.  The
+    per-column non-null counts prove which batch supplied which columns.
+    Scale note: mergeSchema samples footers across ALL files — at real
+    scale pin the evolved schema explicitly (``read_source(schema=)``)
+    and keep mergeSchema for discovery, not for the hot path."""
+    import tempfile
+
+    from .sources.io import read_source, write_sink
+
+    docs = _read(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="dcs-evolve-")
+    write_sink(
+        docs.where(F.col("doc_id") < 250).select("doc_id", "text"),
+        "parquet", path=f"{base}/b1", mode="overwrite",
+    )
+    write_sink(
+        docs.where(F.col("doc_id") >= 250).select(
+            "doc_id", "text", "lang", "n_chars"
+        ),
+        "parquet", path=f"{base}/b2", mode="overwrite",
+    )
+    back = read_source(
+        spark, "parquet", path=f"{base}/b*",
+        options={"mergeSchema": "true"},
+    )
+    aggs = back.agg(
+        *[F.count(c).alias(c) for c in ["doc_id", "text", "lang", "n_chars"]]
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(c, aggs[c]) for c in ["doc_id", "text", "lang", "n_chars"]],
+        "column_name string, n_nonnull long",
+    )
+
+
+@_q(
+    "csv_read_modes",
+    """
+    SELECT * FROM (VALUES
+        ('permissive_rows',   CAST(23 AS BIGINT)),
+        ('permissive_corrupt', CAST(3 AS BIGINT)),
+        ('dropmalformed_rows', CAST(20 AS BIGINT)),
+        ('failfast_raises',    CAST(1 AS BIGINT))
+    ) AS t(probe, value)
+    """,
+)
+def csv_read_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV parse-mode semantics end-to-end (``read_source`` options —
+    the ingest hygiene a crawl pipeline needs before anything else):
+    a file of 20 valid + 3 malformed rows read under PERMISSIVE
+    (malformed rows kept, ``_corrupt_record`` populated),
+    DROPMALFORMED (silently dropped), and FAILFAST (raises).  All
+    three outcomes are asserted by value; corrupt records are counted,
+    never silently lost."""
+    import tempfile
+
+    from .sources.io import read_source
+
+    d = tempfile.mkdtemp(prefix="dcs-csv-")
+    path = f"{d}/rows.csv"
+    with open(path, "w") as fh:
+        for i in range(20):
+            fh.write(f"{i},doc-{i}\n")
+        fh.write("not-a-number,malformed-a\n")
+        fh.write("also-bad,malformed-b\n")
+        fh.write("nan,malformed-c\n")
+    # CAUTION (found the hard way): ``count()`` on a CSV scan prunes
+    # every column, so the parser never attempts a conversion and NO
+    # malformedness is observed in any mode — mode semantics only fire
+    # when the read materializes parsed columns.  collect() the rows.
+    schema = "id INT, name STRING, _corrupt_record STRING"
+    perm_rows = read_source(
+        spark, "csv", path=path,
+        options={"mode": "PERMISSIVE"}, schema=schema,
+    ).collect()
+    n_perm = len(perm_rows)
+    n_corrupt = sum(1 for r in perm_rows if r._corrupt_record is not None)
+    n_drop = len(
+        read_source(
+            spark, "csv", path=path,
+            options={"mode": "DROPMALFORMED"}, schema="id INT, name STRING",
+        ).collect()
+    )
+    try:
+        read_source(
+            spark, "csv", path=path,
+            options={"mode": "FAILFAST"}, schema="id INT, name STRING",
+        ).collect()
+        raised = 0
+    except Exception as exc:  # Py4JJavaError on older gateways,
+        # pyspark.errors.SparkException on newer — assert the CLASS of
+        # failure rather than the wrapper type
+        raised = 1 if "MALFORMED_RECORD_IN_PARSING" in str(exc) else 0
+    return spark.createDataFrame(
+        [
+            ("permissive_rows", n_perm),
+            ("permissive_corrupt", n_corrupt),
+            ("dropmalformed_rows", n_drop),
+            ("failfast_raises", raised),
+        ],
+        "probe string, value long",
+    )
+
+
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "schema_evolution_merge",
+    "csv_read_modes",
     "inference_field_specs",
     "metadata_schema_import",
     "write_omit_projection",
@@ -4923,13 +5049,11 @@ _DRIVER_PRIORITY = [
     # round-3-fresh entries whose operators changed THIS round (bpe
     # vocab caps, semdedup skew guard, winnowing cap, concat_pack exact
     # div): behavior changes outrank long-green staleness, so these sit
-    # ABOVE the r02-stale block.  With 47 never-checked entries ahead,
-    # the 50-cap covers the first THREE; pretrain_packing_bins (exact
-    # div — observable only past 2^53, identical at sf0.01) and
-    # plan_run_end_to_end (checkpoint pinning — hash-identical output)
-    # are the right two to fall past the cap: their changes cannot move
-    # the sf0.01 hash, and driver_sim 122/122 + the sf0.001 pytest gate
-    # still cover them
+    # ABOVE the r02-stale block.  The 50 never-checked entries ahead now
+    # fill the cap EXACTLY, so none of these five get an r04 row — every
+    # one was re-verified hash-exact by this round's full driver_sim
+    # sweeps (120/120, 125/125) AFTER its change landed, and the sf0.001
+    # pytest gate runs them every round
     "bpe_token_counts",
     "semantic_dedup_drops",
     "winnowing_overlap",
