@@ -4998,7 +4998,6 @@ _DRIVER_PRIORITY = [
     "csv_read_modes",
     "inference_field_specs",
     "metadata_schema_import",
-    "write_omit_projection",
     "validation_error_samples",
     "rule_literal_quoting",
     "spearman_length_tokens",
@@ -5044,8 +5043,14 @@ _DRIVER_PRIORITY = [
     "sliding_window_chunks",
     "streaming_exact_dedup",
     "curation_funnel_end_to_end",
-    "l_diversity_violations",
     "streaming_classifier_scores",
+    # the 50-cap ends here with 52 never-checked entries: the two
+    # deferred to round 5 are the LOWEST-risk ones — l_diversity (pure
+    # SQL twin of the checked k_anonymity_violations) and
+    # write_omit_projection (deterministic VALUES oracle) — both still
+    # covered by driver_sim full sweeps and the sf0.001 pytest gate
+    "l_diversity_violations",
+    "write_omit_projection",
     # round-3-fresh entries whose operators changed THIS round (bpe
     # vocab caps, semdedup skew guard, winnowing cap, concat_pack exact
     # div): behavior changes outrank long-green staleness, so these sit
