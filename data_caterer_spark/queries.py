@@ -4992,12 +4992,68 @@ def csv_read_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_enrich_oracle() -> str:
+    from collections import Counter, defaultdict
+
+    from .fixtures import generate_transcripts
+
+    rows = generate_transcripts(n_convs=120, seed=42)
+    n = Counter(r["conv_id"] for r in rows)
+    has: dict = defaultdict(bool)
+    for r in rows:
+        has[r["conv_id"]] = has[r["conv_id"]] or r["role"] == "assistant"
+    vals = ", ".join(
+        f"('{r['conv_id']}', {r['turn_idx']}, {n[r['conv_id']]}, "
+        f"{'TRUE' if has[r['conv_id']] else 'FALSE'})"
+        for r in rows
+    )
+    return (
+        "SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, "
+        "CAST(conv_n_turns AS BIGINT) AS conv_n_turns, conv_has_assistant "
+        "FROM (VALUES " + vals + ") AS g(conv_id, turn_idx, conv_n_turns, "
+        "conv_has_assistant)"
+    )
+
+
+@_q("streaming_static_enrich", _streaming_enrich_oracle)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join (the remaining Structured-Streaming join
+    shape): each streamed turn is enriched against a batch-computed
+    per-conversation dimension (turn count, has-assistant flag) —
+    the serve-time pattern for joining live turns to precomputed corpus
+    statistics.  The static side is broadcast into every micro-batch
+    (no stream-side shuffle, no state store); at production scale the
+    dim table is bucketed and the join stays broadcast or storage-
+    co-located.  Oracle = a sequential replay of the same fixture and
+    aggregates."""
+    stream, base = _stream_fixture(spark, n_convs=120)
+    static_dim = (
+        spark.read.parquet(f"{base}/in")
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("conv_n_turns"),
+            F.max((F.col("role") == "assistant").cast("int")).alias("__ha"),
+        )
+        .select(
+            "conv_id",
+            "conv_n_turns",
+            (F.col("__ha") == 1).alias("conv_has_assistant"),
+        )
+    )
+    enriched = stream.join(F.broadcast(static_dim), "conv_id").select(
+        "conv_id", "turn_idx", "conv_n_turns", "conv_has_assistant"
+    )
+    return _run_available_now(enriched, f"{base}/cp", "append").orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "streaming_static_enrich",
     "schema_evolution_merge",
     "csv_read_modes",
     "inference_field_specs",
-    "metadata_schema_import",
     "validation_error_samples",
     "rule_literal_quoting",
     "spearman_length_tokens",
@@ -5044,13 +5100,15 @@ _DRIVER_PRIORITY = [
     "streaming_exact_dedup",
     "curation_funnel_end_to_end",
     "streaming_classifier_scores",
-    # the 50-cap ends here with 52 never-checked entries: the two
-    # deferred to round 5 are the LOWEST-risk ones — l_diversity (pure
-    # SQL twin of the checked k_anonymity_violations) and
-    # write_omit_projection (deterministic VALUES oracle) — both still
-    # covered by driver_sim full sweeps and the sf0.001 pytest gate
+    # the 50-cap ends just above: with 53 never-checked entries, the
+    # three deferred to round 5 are the LOWEST-risk ones — l_diversity
+    # (pure SQL twin of the checked k_anonymity_violations),
+    # write_omit_projection and metadata_schema_import (deterministic
+    # VALUES oracles over fixed inputs) — all still covered by
+    # driver_sim full sweeps and the sf0.001 pytest gate
     "l_diversity_violations",
     "write_omit_projection",
+    "metadata_schema_import",
     # round-3-fresh entries whose operators changed THIS round (bpe
     # vocab caps, semdedup skew guard, winnowing cap, concat_pack exact
     # div): behavior changes outrank long-green staleness, so these sit
