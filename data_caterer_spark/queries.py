@@ -5048,11 +5048,92 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_stream_join_oracle() -> str:
+    from collections import defaultdict
+
+    from .fixtures import generate_transcripts
+
+    rows = generate_transcripts(n_convs=120, seed=42)
+    by_conv: dict = defaultdict(lambda: ([], []))
+    for r in rows:
+        if r["role"] == "user":
+            by_conv[r["conv_id"]][0].append(r)
+        elif r["role"] == "assistant":
+            by_conv[r["conv_id"]][1].append(r)
+    vals = []
+    for conv, (users, assists) in by_conv.items():
+        for u in users:
+            for a in assists:
+                gap = (a["ts"] - u["ts"]).total_seconds()
+                if 0 <= gap <= 600:
+                    vals.append(
+                        f"('{conv}', {u['turn_idx']}, {a['turn_idx']}, "
+                        f"{int(gap)})"
+                    )
+    return (
+        "SELECT conv_id, CAST(u_idx AS INTEGER) AS u_idx, "
+        "CAST(a_idx AS INTEGER) AS a_idx, CAST(gap_s AS BIGINT) AS gap_s "
+        "FROM (VALUES " + ", ".join(vals)
+        + ") AS g(conv_id, u_idx, a_idx, gap_s)"
+    )
+
+
+@_q("streaming_stream_join", _stream_stream_join_oracle)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join (the hardest Structured-
+    Streaming join shape): user turns and assistant turns arrive as two
+    independent streams; each user turn pairs with the same
+    conversation's assistant turns landing within the next 10 minutes.
+    Both sides carry watermarks and the join predicate carries the time
+    bound, so the state store provably evicts rows older than the
+    horizon — the unbounded-stream safety property.  Under availableNow
+    the full fixture replays, so the result equals the batch range join
+    and the sequential replay oracle is exact."""
+    stream, base = _stream_fixture(spark, n_convs=120)
+    users = (
+        stream.where(F.col("role") == "user")
+        .select(
+            F.col("conv_id").alias("u_conv"),
+            F.col("turn_idx").alias("u_idx"),
+            F.col("ts").alias("u_ts"),
+        )
+        .withWatermark("u_ts", "30 minutes")
+    )
+    assistants = (
+        stream.where(F.col("role") == "assistant")
+        .select(
+            F.col("conv_id").alias("a_conv"),
+            F.col("turn_idx").alias("a_idx"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", "30 minutes")
+    )
+    joined = users.join(
+        assistants,
+        F.expr(
+            "u_conv = a_conv AND a_ts >= u_ts "
+            "AND a_ts <= u_ts + interval 10 minutes"
+        ),
+    ).select(
+        F.col("u_conv").alias("conv_id"),
+        "u_idx",
+        "a_idx",
+        F.floor(
+            (F.unix_micros(F.col("a_ts").cast("timestamp"))
+             - F.unix_micros(F.col("u_ts").cast("timestamp")))
+            / F.lit(1_000_000)
+        ).alias("gap_s"),
+    )
+    return _run_available_now(joined, f"{base}/cp", "append").orderBy(
+        "conv_id", "u_idx", "a_idx"
+    )
+
+
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "streaming_stream_join",
     "streaming_static_enrich",
     "schema_evolution_merge",
-    "csv_read_modes",
     "inference_field_specs",
     "validation_error_samples",
     "rule_literal_quoting",
@@ -5100,15 +5181,16 @@ _DRIVER_PRIORITY = [
     "streaming_exact_dedup",
     "curation_funnel_end_to_end",
     "streaming_classifier_scores",
-    # the 50-cap ends just above: with 53 never-checked entries, the
-    # three deferred to round 5 are the LOWEST-risk ones — l_diversity
-    # (pure SQL twin of the checked k_anonymity_violations),
-    # write_omit_projection and metadata_schema_import (deterministic
-    # VALUES oracles over fixed inputs) — all still covered by
+    # the 50-cap ends just above: with 54 never-checked entries, the
+    # four deferred to round 5 are the LOWEST-risk ones — l_diversity
+    # (pure SQL twin of the checked k_anonymity_violations) and three
+    # deterministic VALUES/fixed-input oracles (write_omit_projection,
+    # metadata_schema_import, csv_read_modes) — all still covered by
     # driver_sim full sweeps and the sf0.001 pytest gate
     "l_diversity_violations",
     "write_omit_projection",
     "metadata_schema_import",
+    "csv_read_modes",
     # round-3-fresh entries whose operators changed THIS round (bpe
     # vocab caps, semdedup skew guard, winnowing cap, concat_pack exact
     # div): behavior changes outrank long-green staleness, so these sit
