@@ -5129,11 +5129,102 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "html_text_extraction",
+    r"""
+    WITH built AS (
+        SELECT doc_id,
+               '<html><head><title>T</title><style>p{margin:0}</style>'
+               || '</head><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</h1><p>'
+               || replace(replace(replace(text, '&', '&amp;'),
+                          '<', '&lt;'), '>', '&gt;')
+               || '</p><script>var x=1;</script></body></html>' AS html,
+               trim(regexp_replace('T Doc ' || CAST(doc_id AS VARCHAR)
+                                   || ' ' || text, '\s+', ' ', 'g'))
+                   AS expected
+        FROM documents WHERE text IS NOT NULL
+    ), extracted AS (
+        SELECT doc_id, expected,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html, '(?s)<script.*?</script>', ' ',
+                                      'g'),
+                       '(?s)<style.*?</style>', ' ', 'g'),
+                     '<[^>]+>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&amp;', '&'),
+                 '\s+', ' ', 'g')) AS text_out
+        FROM built
+    )
+    SELECT doc_id, md5(text_out) AS extract_md5,
+           text_out = expected AS ok
+    FROM extracted
+    """,
+)
+def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (the crawl pipeline's stage zero, the
+    C4/FineWeb trafilatura step re-expressed as pure Catalyst): strip
+    script/style blocks, strip tags, decode entities (amp LAST),
+    collapse whitespace — a zero-shuffle projection chain that stays in
+    whole-stage codegen.  The query builds deterministic HTML around
+    each document (with proper escaping), extracts it back, and the
+    ``ok`` flag asserts byte round-trip against the independently
+    normalized original — so the driver hash pins both the extractor
+    and its escaping inverse."""
+    esc = F.col("text")
+    esc = F.regexp_replace(esc, "&", "&amp;")
+    esc = F.regexp_replace(esc, "<", "&lt;")
+    esc = F.regexp_replace(esc, ">", "&gt;")
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>T</title><style>p{margin:0}</style>"
+                  "</head><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            esc,
+            F.lit("</p><script>var x=1;</script></body></html>"),
+        ).alias("html"),
+        F.trim(
+            F.regexp_replace(
+                F.concat(
+                    F.lit("T Doc "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" "),
+                    F.col("text"),
+                ),
+                r"\s+",
+                " ",
+            )
+        ).alias("expected"),
+    )
+    t = F.col("html")
+    t = F.regexp_replace(t, r"(?s)<script.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?s)<style.*?</style>", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'")]:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.replace(t, F.lit("&amp;"), F.lit("&"))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return built.select(
+        "doc_id",
+        F.md5(t).alias("extract_md5"),
+        (t == F.col("expected")).alias("ok"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "html_text_extraction",
     "streaming_stream_join",
     "streaming_static_enrich",
-    "schema_evolution_merge",
     "inference_field_specs",
     "validation_error_samples",
     "rule_literal_quoting",
@@ -5181,16 +5272,18 @@ _DRIVER_PRIORITY = [
     "streaming_exact_dedup",
     "curation_funnel_end_to_end",
     "streaming_classifier_scores",
-    # the 50-cap ends just above: with 54 never-checked entries, the
-    # four deferred to round 5 are the LOWEST-risk ones — l_diversity
-    # (pure SQL twin of the checked k_anonymity_violations) and three
-    # deterministic VALUES/fixed-input oracles (write_omit_projection,
-    # metadata_schema_import, csv_read_modes) — all still covered by
-    # driver_sim full sweeps and the sf0.001 pytest gate
+    # the 50-cap ends just above: with 55 never-checked entries, the
+    # five deferred to round 5 are the LOWEST-risk ones — l_diversity
+    # (pure SQL twin of the checked k_anonymity_violations) and four
+    # deterministic fixed-input oracles (write_omit_projection,
+    # metadata_schema_import, csv_read_modes, schema_evolution_merge) —
+    # all still covered by driver_sim full sweeps and the sf0.001
+    # pytest gate
     "l_diversity_violations",
     "write_omit_projection",
     "metadata_schema_import",
     "csv_read_modes",
+    "schema_evolution_merge",
     # round-3-fresh entries whose operators changed THIS round (bpe
     # vocab caps, semdedup skew guard, winnowing cap, concat_pack exact
     # div): behavior changes outrank long-green staleness, so these sit
