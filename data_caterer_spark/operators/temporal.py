@@ -87,21 +87,34 @@ def asof_join(
     ``row_number() ... ORDER BY tiebreak DESC = 1`` pre-dedup.
     """
     keys = list(key_cols)
-    out_cols = [f"{prefix}{c}" for c in payload_cols] + [f"{prefix}{ts_col}"]
+    # The whole right row travels as ONE struct (payloads + matched ts):
+    # last(ignorenulls) over a struct is atomic — either the entire
+    # matched row or nothing.  Carrying each payload column in its own
+    # last() would let a NULL field fall through to an OLDER right row's
+    # value, producing a torn row that matches no actual right row.
+    payload = F.struct(
+        *[F.col(c).alias(c) for c in payload_cols],
+        F.col(ts_col).alias("__matched_ts"),
+    )
+    tie_src = (
+        F.col(tiebreak_col) if tiebreak_col is not None else F.lit(0)
+    )
+    tie_type = (
+        right.schema[tiebreak_col].dataType.simpleString()
+        if tiebreak_col is not None
+        else "int"
+    )
     r = right.select(
         *keys,
         F.col(ts_col),
-        *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],
-        F.col(ts_col).alias(f"{prefix}{ts_col}"),
+        payload.alias("__asof"),
         F.lit(0).alias("__side"),
-        (
-            F.col(tiebreak_col) if tiebreak_col is not None else F.lit(0)
-        ).cast("long").alias("__tie"),
+        tie_src.alias("__tie"),  # native type: strings order too
     )
     l = left.withColumn("__side", F.lit(1)).withColumn(
-        "__tie", F.lit(None).cast("long")
+        "__tie", F.lit(None).cast(tie_type)
     )
-    # left rows get null payload columns; right rows get null left
+    # left rows get a null __asof struct; right rows get null left
     # columns.  Nulls in __tie sort FIRST under asc, but only __side
     # breaks the (ts) tie across sides, so the null never competes.
     unioned = l.unionByName(r, allowMissingColumns=True)
@@ -110,12 +123,19 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumns(
-        {c: F.last(F.col(c), ignorenulls=True).over(w) for c in out_cols}
+    carried = unioned.withColumn(
+        "__asof", F.last(F.col("__asof"), ignorenulls=True).over(w)
     )
     return (
         carried.where(F.col("__side") == 1)
-        .drop("__side", "__tie")
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.col(f"__asof.{c}").alias(f"{prefix}{c}")
+                for c in payload_cols
+            ],
+            F.col("__asof.__matched_ts").alias(f"{prefix}{ts_col}"),
+        )
     )
 
 

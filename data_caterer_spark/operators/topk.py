@@ -53,6 +53,12 @@ def grouped_topk(
     ties = list(tiebreak_cols)
     if not ties:
         raise ValueError("tiebreak_cols required for a deterministic top-k")
+    clash = {rank_col, "__salt", "__r1"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with grouped_topk's "
+            "working columns; rename them or pass a different rank_col"
+        )
     direction = (
         [F.col(order_col).desc()] if descending else [F.col(order_col).asc()]
     ) + [F.col(c).asc() for c in ties]

@@ -1234,9 +1234,15 @@ def classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", (F.col("lang") == "en").alias("__lbl")),
         "doc_id",
     )
-    return CLS.threshold_sweep(
+    out = CLS.threshold_sweep(
         scored, F.col("__lbl"), _SWEEP_THRESHOLDS
     ).orderBy("thr_fixed")
+    # materialize (tiny) so the featurize cache can be released NOW —
+    # each invocation builds a fresh plan, so an un-released persist
+    # would leak one cache per call for the session lifetime
+    out = out.localCheckpoint(eager=True)
+    feat.unpersist()
+    return out
 
 
 @_q(
@@ -3135,7 +3141,11 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, F.col("lang") == "en", n_features=1024, iters=6, lr=0.5,
         features=feat,
     )
-    return CLS.infer_from_features(feat, model).orderBy("doc_id")
+    out = CLS.infer_from_features(feat, model).orderBy("doc_id")
+    # slim (doc_id, score, keep) rows: materialize, release the cache
+    out = out.localCheckpoint(eager=True)
+    feat.unpersist()
+    return out
 
 
 @_q(
@@ -3860,7 +3870,8 @@ def wait_readiness_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_nationkey,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS revenue
+           round(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) / 100.0, 2) AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_nationkey
     ORDER BY c.c_nationkey
@@ -3906,7 +3917,13 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # fixed-point int64 sum: the 2-decimal money doubles feed the
+            # driver hash gate, so the cross-partition sum must commute
+            F.round(
+                F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+                / 100.0,
+                2,
+            ).alias("revenue"),
         )
         .orderBy("c_nationkey")
     )

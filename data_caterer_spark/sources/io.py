@@ -162,7 +162,12 @@ def write_bucketed(
     ``path`` makes it an external table.  The bucket function is
     Murmur3 on the bucket columns — stable across writes, so INCREMENTAL
     appends land in the same bucket files."""
-    if df.sparkSession.catalog.tableExists(table):
+    if mode == "overwrite":
+        # saveAsTable('overwrite') on a bucketed external table can
+        # refuse to reuse the location — a clean drop gives overwrite
+        # semantics.  NEVER on append: dropping a managed table deletes
+        # its files, so an incremental append would silently lose all
+        # previously written data.
         df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     writer = df.write.format(fmt).mode(mode)
     if path is not None:

@@ -153,6 +153,25 @@ class ResumableRunner:
             if self.group_col is not None
             else group_expr(self.conv_col, self.n_groups),
         )
+        if self.group_col is not None:
+            # an injected expression with a modulus that disagrees with
+            # n_groups would leave rows outside every gid loop iteration
+            # — silently missing from the output; fail fast instead
+            bad = (
+                grouped.select("__group")
+                .where(
+                    (F.col("__group") < 0)
+                    | (F.col("__group") >= self.n_groups)
+                )
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"group_col produced id {bad[0]['__group']} outside "
+                    f"range({self.n_groups}); rows would be silently "
+                    "skipped"
+                )
         processed = []
         for gid in self.pending_groups():
             if fail_on_group is not None and gid == fail_on_group:

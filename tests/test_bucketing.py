@@ -61,3 +61,16 @@ def test_bucketed_append_stays_colocated(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert j.count() == 2000
+
+
+def test_bucketed_append_mode_preserves_existing_rows(spark, tmp_path):
+    from data_caterer_spark.sources.io import write_bucketed
+    import pyspark.sql.functions as F
+
+    df1 = spark.range(100).select(F.col("id").alias("k"))
+    write_bucketed(df1, "t_keep_b", ["k"], n_buckets=4,
+                   path=str(tmp_path / "keep"))
+    df2 = spark.range(100, 150).select(F.col("id").alias("k"))
+    write_bucketed(df2, "t_keep_b", ["k"], n_buckets=4,
+                   path=str(tmp_path / "keep"), mode="append")
+    assert spark.table("t_keep_b").count() == 150  # df1 NOT dropped

@@ -199,3 +199,20 @@ def test_write_sink_partitioning_and_omit(spark, tmp_path):
     assert back.count() == 50
     import os
     assert any(d.startswith("bucket=") for d in os.listdir(path))
+
+
+def test_injected_group_col_out_of_range_fails_fast(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from data_caterer_spark.sources.manifest import ResumableRunner
+
+    df = spark.range(32).select(F.col("id").alias("doc_id"))
+    r = ResumableRunner(
+        spark, str(tmp_path / "o"), str(tmp_path / "m"), n_groups=8,
+        conv_col="doc_id",
+        group_col=F.pmod(F.col("doc_id"), F.lit(16)).cast("int"),
+    )
+    with pytest.raises(ValueError, match="outside"):
+        r.run(df, lambda d: d.withColumn("keep", F.lit(True)).withColumn(
+            "rule_hits", F.array().cast("array<string>")))

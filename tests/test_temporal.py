@@ -199,3 +199,28 @@ def test_asof_property_matches_pandas(spark):
             for r in merged.itertuples()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_asof_join_null_payload_not_torn(spark):
+    """A NULL payload field in the MATCHED right row must stay NULL —
+    not fall through to an older right row's value (torn row)."""
+    left = spark.createDataFrame([(1, _ts(10))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 100), (1, _ts(9), None)],
+        "k long, ts timestamp, v long",
+    )
+    r = asof_join(left, right, ["k"], "ts", ["v"]).collect()[0]
+    assert r.asof_v is None  # matched row IS 09:00, its v is NULL
+    assert r.asof_ts.minute == 9
+
+
+def test_asof_join_string_tiebreak(spark):
+    left = spark.createDataFrame([(1, _ts(10))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(9), "a", 1), (1, _ts(9), "c", 3), (1, _ts(9), "b", 2)],
+        "k long, ts timestamp, sid string, v long",
+    )
+    out = asof_join(
+        left, right, ["k"], "ts", ["sid", "v"], tiebreak_col="sid"
+    ).collect()[0]
+    assert (out.asof_sid, out.asof_v) == ("c", 3)  # max string tiebreak

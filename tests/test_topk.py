@@ -85,3 +85,14 @@ def test_property_matches_sequential(spark, rows, k):
         ordered = sorted(vs, key=lambda p: (-p[0], p[1]))[:k]
         expected.extend((g, i + 1, v, t) for i, (v, t) in enumerate(ordered))
     assert got == sorted(expected)
+
+
+def test_column_clash_raises(spark):
+    import pytest
+
+    df = spark.range(10).select(
+        F.col("id").alias("g"), F.col("id").alias("v"),
+        F.col("id").alias("t"), F.lit(1).alias("rank"),
+    )
+    with pytest.raises(ValueError, match="collide"):
+        grouped_topk(df, ["g"], "v", 2, ["t"])
