@@ -87,6 +87,21 @@ def asof_join(
     ``row_number() ... ORDER BY tiebreak DESC = 1`` pre-dedup.
     """
     keys = list(key_cols)
+    clash = {"__side", "__tie", "__asof"} & (
+        set(left.columns) | set(right.columns)
+    )
+    clash |= {f"{prefix}{c}" for c in list(payload_cols) + [ts_col]} & set(
+        left.columns
+    )
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with asof_join's "
+            "working/output columns; rename them or change the prefix"
+        )
+    # A NULL right timestamp can never satisfy ts_right <= ts_left (SQL
+    # three-valued logic; DuckDB ASOF returns no match) — but it would
+    # sort NULLS FIRST here and pollute the running last.  Drop them.
+    right = right.where(F.col(ts_col).isNotNull())
     # The whole right row travels as ONE struct (payloads + matched ts):
     # last(ignorenulls) over a struct is atomic — either the entire
     # matched row or nothing.  Carrying each payload column in its own
@@ -160,6 +175,11 @@ def interval_bin_join(
 
     Column names must not collide across the two inputs (project first).
     """
+    if "__bin" in set(intervals.columns) | set(points.columns):
+        raise ValueError(
+            "input column __bin collides with interval_bin_join's "
+            "working column; rename it"
+        )
     w_us = int(bin_width_s) * 1_000_000
     binned_i = intervals.withColumn(
         "__bin",

@@ -4370,7 +4370,7 @@ def sft_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS rmax,
                row_number() OVER (PARTITION BY user_id, event_type
                                   ORDER BY value ASC, event_id ASC) AS rmin
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT r1.user_id, r1.event_type,
            r1.event_id AS chosen_id,
@@ -4392,8 +4392,11 @@ def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     task; the oracle's double row_number window (which buffers and sorts
     whole partitions) is exactly the spelling this avoids at 10^12 rows.
     Ties break on event_id inside the ordering struct, so the pick is
-    deterministic on both sides."""
-    ev = _read(spark, sf_dir, "events")
+    deterministic on both sides.  Unscored (NULL-value) samples are
+    excluded up front: Spark's min_by would otherwise pick a NULL row as
+    'rejected' where SQL's ASC ordering puts NULLS LAST — mining only
+    scored samples is both the sane semantics and the aligned one."""
+    ev = _read(spark, sf_dir, "events").where(F.col("value").isNotNull())
     pairs = ev.groupBy("user_id", "event_type").agg(
         F.max_by(
             F.struct("event_id", "value"), F.struct("value", "event_id")
@@ -4575,8 +4578,10 @@ def length_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(1.0 - 6.0 * CAST(sum((rx - ry) * (rx - ry)) AS BIGINT)
-                 / (count(*) * (count(*) * count(*) - 1.0)), 6) AS rho
+           CASE WHEN count(*) > 1 THEN
+               round(1.0 - 6.0 * CAST(sum((rx - ry) * (rx - ry)) AS BIGINT)
+                     / (count(*) * (count(*) * count(*) - 1.0)), 6)
+           END AS rho
     FROM ranked GROUP BY lang
     """,
 )
@@ -4612,14 +4617,19 @@ def spearman_length_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             "n_docs",
-            F.round(
-                F.lit(1.0)
-                - F.lit(6.0) * F.col("__sd2")
-                / (
-                    F.col("n_docs")
-                    * (F.col("n_docs") * F.col("n_docs") - F.lit(1.0))
+            # a singleton group has denominator 0: NULL (the SQL answer),
+            # never NaN — Spark 0.0/0.0 would yield NaN and hash-diverge
+            F.when(
+                F.col("n_docs") > 1,
+                F.round(
+                    F.lit(1.0)
+                    - F.lit(6.0) * F.col("__sd2")
+                    / (
+                        F.col("n_docs")
+                        * (F.col("n_docs") * F.col("n_docs") - F.lit(1.0))
+                    ),
+                    6,
                 ),
-                6,
             ).alias("rho"),
         )
     )

@@ -224,3 +224,25 @@ def test_asof_join_string_tiebreak(spark):
         left, right, ["k"], "ts", ["sid", "v"], tiebreak_col="sid"
     ).collect()[0]
     assert (out.asof_sid, out.asof_v) == ("c", 3)  # max string tiebreak
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    left = spark.createDataFrame([(1, _ts(10))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, None, 99)], "k long, ts timestamp, v long"
+    )
+    r = asof_join(left, right, ["k"], "ts", ["v"]).collect()[0]
+    assert r.asof_v is None and r.asof_ts is None
+
+
+def test_asof_join_column_clash_raises(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, _ts(1), 0)], "k long, ts timestamp, __side int"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(1), 2)], "k long, ts timestamp, v long"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["k"], "ts", ["v"])
