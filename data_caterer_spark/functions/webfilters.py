@@ -95,7 +95,11 @@ def gopher_flags(
     ellipsis_cnt = (
         F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
     ) / F.lit(3)
-    sym_ratio = _frac(hash_cnt + ellipsis_cnt, n_words)
+    # Rae et al. A1.1 tests EACH symbol's ratio against 0.1 ("symbol-to-
+    # word ratio greater than 0.1 for either the hash symbol or
+    # ellipsis") — a combined sum would be stricter than the paper
+    hash_ratio = _frac(hash_cnt, n_words)
+    ellipsis_ratio = _frac(ellipsis_cnt, n_words)
     lines = _lines(c)
     n_lines = F.size(lines)
     bullet_frac = _frac(
@@ -121,7 +125,9 @@ def gopher_flags(
         "words_in_range": n_words.between(min_words, max_words),
         # guard the 0-word division: a wordless doc fails, not NaN-passes
         "mean_word_len_ok": (n_words > 0) & mean_wl.between(3.0, 10.0),
-        "symbol_ratio_ok": (n_words > 0) & (sym_ratio <= 0.1),
+        "symbol_ratio_ok": (n_words > 0)
+        & (hash_ratio <= 0.1)
+        & (ellipsis_ratio <= 0.1),
         "bullet_lines_ok": (n_lines > 0) & (bullet_frac <= 0.9),
         "ellipsis_lines_ok": (n_lines > 0) & (ellipsis_line_frac <= 0.3),
         "alpha_words_ok": (n_words > 0) & (alpha_frac >= 0.8),

@@ -52,9 +52,14 @@ def l_diversity_violations(
 
     ``dropDuplicates`` on (quasi, sensitive) first — the follow-up
     count is then a plain combinable aggregate (both stages hash on the
-    same leading keys), not a count-distinct expansion."""
+    same leading keys), not a count-distinct expansion.  NULL sensitive
+    values are excluded BEFORE the dedup: ``dropDuplicates`` would keep
+    NULL as a distinct value where SQL ``count(DISTINCT ...)`` (and
+    :func:`anonymity_summary`) excludes it — a NULL is an absent
+    attribute, not diversity, and the two gate surfaces must agree."""
     return (
         df.select(*quasi_cols, sensitive_col)
+        .where(F.col(sensitive_col).isNotNull())
         .dropDuplicates([*quasi_cols, sensitive_col])
         .groupBy(*quasi_cols)
         .agg(F.count(F.lit(1)).alias("distinct_sensitive"))

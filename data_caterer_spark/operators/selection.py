@@ -394,18 +394,26 @@ def diversity_cluster_sample(
     alone collapses onto one dominant mode.
 
     Plan: bounded driver-side training (sample ~40 rows/centroid), one
-    broadcast-matmul assignment pass, ONE combinable groupBy whose
-    per-cluster state is capped by construction (``derive_n_lists``
-    keeps clusters near ``rows_per_list`` rows, so the collect_list +
-    slice never sees an unbounded group).  No window, no join.
+    broadcast-matmul assignment pass, then the EXACT salted two-phase
+    per-cluster top-k (``operators/topk.py``) — per-task state is k rows
+    per (cluster, salt) subgroup regardless of how skewed k-means left
+    the clusters (``derive_n_lists`` keeps them near ``rows_per_list``
+    on well-spread data, but a degenerate embedding mass can put nearly
+    everything in one cluster, and a collect_list there would buffer
+    the corpus).  Null embeddings are excluded up front — a null vector
+    would otherwise score as exactly central.
     """
     from .similarity import (
         TRAIN_ROWS_PER_LIST,
         derive_n_lists,
         train_ivf_centroids,
     )
+    from .topk import grouped_topk
 
+    df = df.where(F.col(vec_col).isNotNull())
     n_rows = df.count()
+    if n_rows == 0:
+        raise ValueError("diversity_cluster_sample: no non-null embeddings")
     if n_lists is None:
         n_lists = derive_n_lists(n_rows, rows_per_list)
     dim = len(df.select(vec_col).first()[0])
@@ -424,27 +432,25 @@ def diversity_cluster_sample(
         F.col("__cd.d2").alias("__d2"),
         F.col(id_col),
     )
-    return (
-        assigned.groupBy("cluster")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct("__d2", F.col(id_col)))
-                ),
-                1,
-                per_cluster,
-            ).alias("__top"),
-            F.count(F.lit(1)).alias("cluster_size"),
-        )
-        .select(
-            "cluster",
-            F.col("cluster_size").cast("int").alias("cluster_size"),
-            F.explode("__top").alias("__t"),
-        )
-        .select(
-            "cluster",
-            F.col(f"__t.{id_col}").alias(id_col),
-            F.round(F.col("__t.__d2"), 6).alias("dist_sq"),
-            "cluster_size",
-        )
+    # the operator is already eager (driver-side k-means, df.count());
+    # materialize the SLIM (cluster, d2, id) assignment once so the
+    # sizes branch and the top-k branch don't each re-run the Arrow
+    # assignment pass over the full vectors
+    assigned = assigned.localCheckpoint(eager=True)
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size")
+    )
+    top = grouped_topk(
+        assigned,
+        group_cols=["cluster"],
+        order_col="__d2",
+        k=per_cluster,
+        tiebreak_cols=[id_col],
+        descending=False,  # most-central = SMALLEST distance
+    )
+    return top.join(F.broadcast(sizes), "cluster").select(
+        "cluster",
+        F.col(id_col),
+        F.round(F.col("__d2"), 6).alias("dist_sq"),
+        "cluster_size",
     )

@@ -119,10 +119,12 @@ def filter_urls(
     )
     out = df
     if domain_blocklist is not None:
+        # dedup the small side: public blocklists routinely repeat
+        # entries, and a duplicated key would MULTIPLY corpus rows
         bl = domain_blocklist.select(
             F.col("domain").alias("__bl_domain"),
             F.lit(True).alias("__bl_hit"),
-        )
+        ).dropDuplicates(["__bl_domain"])
         out = (
             out.withColumn("__dom", url_registered_domain(url))
             .join(
@@ -134,12 +136,17 @@ def filter_urls(
         )
         flags = {"blocked_domain": F.coalesce(F.col("__bl_hit"), F.lit(False)),
                  **flags}
+    # fail CLOSED on a NULL url: rlike/locate propagate NULL, which
+    # would leave keep=NULL (neither side of a boolean filter) and an
+    # empty reason string — a NULL url is a drop with its own reason
+    flags = {"null_url": url.isNull(), **flags}
     reason_parts = [
-        F.when(cond, F.lit(name)) for name, cond in flags.items()
+        F.when(F.coalesce(cond, F.lit(False)), F.lit(name))
+        for name, cond in flags.items()
     ]
     keep = F.lit(True)
     for cond in flags.values():
-        keep = keep & ~cond
+        keep = keep & ~F.coalesce(cond, F.lit(False))
     out = out.withColumn(
         reasons_col, F.concat_ws("|", *reason_parts)
     ).withColumn(keep_col, keep)

@@ -65,10 +65,19 @@ def curation_funnel(
 
     # stage 3: exact dedup — min doc_id per normalized-text fingerprint
     # (the streaming twin uses the same md5 key)
+    # NULL text -> NULL fingerprint: groupBy keeps the NULL group (one
+    # keeper row), but a null-UNSAFE join key would drop every null-fp
+    # row — the sequential replay keeps the min-doc_id null-text row, so
+    # the join must be null-safe on __fp (doc_id itself is never null)
     fp = F.md5(F.lower(F.trim(F.col("text"))))
     with_fp = quality.withColumn("__fp", fp)
     keepers = with_fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
-    unique = with_fp.join(keepers, ["__fp", "doc_id"]).drop("__fp")
+    unique = with_fp.join(
+        keepers,
+        with_fp["__fp"].eqNullSafe(keepers["__fp"])
+        & (with_fp["doc_id"] == keepers["doc_id"]),
+        "left_semi",
+    ).drop("__fp")
 
     # stage 4: DSIR importance weights over the deduped corpus (one-scan
     # pair fit; ratio table broadcast; int64 per-doc sums)

@@ -1813,7 +1813,8 @@ _DUCK_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(12)"
                AND word_chars / n_words BETWEEN 3.0 AND 10.0,
                FALSE) AS mean_word_len_ok,
       COALESCE(n_words > 0
-               AND (hash_cnt + ell_cnt)::DOUBLE / n_words <= 0.1,
+               AND hash_cnt::DOUBLE / n_words <= 0.1
+                   AND ell_cnt::DOUBLE / n_words <= 0.1,
                FALSE) AS symbol_ratio_ok,
       COALESCE(n_lines > 0 AND bullet_n::DOUBLE / n_lines <= 0.9,
                FALSE) AS bullet_lines_ok,
@@ -1826,7 +1827,8 @@ _DUCK_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(12)"
       AND COALESCE(n_words > 0
                    AND word_chars / n_words BETWEEN 3.0 AND 10.0, FALSE)
       AND COALESCE(n_words > 0
-                   AND (hash_cnt + ell_cnt)::DOUBLE / n_words <= 0.1, FALSE)
+                   AND hash_cnt::DOUBLE / n_words <= 0.1
+                   AND ell_cnt::DOUBLE / n_words <= 0.1, FALSE)
       AND COALESCE(n_lines > 0
                    AND bullet_n::DOUBLE / n_lines <= 0.9, FALSE)
       AND COALESCE(n_lines > 0
@@ -1953,7 +1955,8 @@ def c4_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND COALESCE(n_words > 0
                      AND word_chars / n_words BETWEEN 3.0 AND 10.0, FALSE)
         AND COALESCE(n_words > 0
-                     AND (hash_cnt + ell_cnt)::DOUBLE / n_words <= 0.1, FALSE)
+                     AND hash_cnt::DOUBLE / n_words <= 0.1
+                   AND ell_cnt::DOUBLE / n_words <= 0.1, FALSE)
         AND COALESCE(n_lines > 0
                      AND bullet_n::DOUBLE / n_lines <= 0.9, FALSE)
         AND COALESCE(n_lines > 0
@@ -3086,15 +3089,20 @@ concat(
       FROM f
     )
     SELECT doc_id, url,
-      NOT (blocked_domain OR ip_host OR bad_tld OR bad_extension
-           OR excess_params OR blocked_word) AS url_keep,
+      NOT (url IS NULL OR COALESCE(blocked_domain, FALSE)
+           OR COALESCE(ip_host, FALSE) OR COALESCE(bad_tld, FALSE)
+           OR COALESCE(bad_extension, FALSE)
+           OR COALESCE(excess_params, FALSE)
+           OR COALESCE(blocked_word, FALSE)) AS url_keep,
       concat_ws('|',
-        CASE WHEN blocked_domain THEN 'blocked_domain' END,
-        CASE WHEN ip_host THEN 'ip_host' END,
-        CASE WHEN bad_tld THEN 'bad_tld' END,
-        CASE WHEN bad_extension THEN 'bad_extension' END,
-        CASE WHEN excess_params THEN 'excess_params' END,
-        CASE WHEN blocked_word THEN 'blocked_word' END) AS url_drop_reasons
+        CASE WHEN url IS NULL THEN 'null_url' END,
+        CASE WHEN COALESCE(blocked_domain, FALSE) THEN 'blocked_domain' END,
+        CASE WHEN COALESCE(ip_host, FALSE) THEN 'ip_host' END,
+        CASE WHEN COALESCE(bad_tld, FALSE) THEN 'bad_tld' END,
+        CASE WHEN COALESCE(bad_extension, FALSE) THEN 'bad_extension' END,
+        CASE WHEN COALESCE(excess_params, FALSE) THEN 'excess_params' END,
+        CASE WHEN COALESCE(blocked_word, FALSE) THEN 'blocked_word' END)
+        AS url_drop_reasons
     FROM g ORDER BY doc_id
     """,
 )

@@ -125,7 +125,10 @@ def _order_fn(
     for pdf in pdfs:
         pdf = pdf.sort_values("turn_idx")
         for row in pdf.itertuples(index=False):
-            ts_val = row.ts.timestamp() if row.ts is not None else None
+            # pd.notna: a NULL ts arrives as pandas NaT, which is not
+            # None and whose .timestamp() raises — one bad turn must
+            # not kill the whole streaming query
+            ts_val = row.ts.timestamp() if pd.notna(row.ts) else None
             alternation_ok = not (
                 row.role == last_role and row.role in ("user", "assistant")
             )
@@ -186,11 +189,18 @@ def streaming_exact_dedup(
     passes, replays are dropped — the streaming twin of the batch
     fingerprint-groupBy path (``operators/dedup.py``).
 
-    ``dropDuplicates`` keyed on the fingerprint AFTER a watermark on the
-    event time bounds the dedup state: fingerprints older than the
-    watermark horizon are evicted, so state is proportional to the
-    recent-traffic window, not the stream's history (the only shape that
-    survives an unbounded 10^12-turn stream).  The key is md5 of the
+    State discipline: plain ``dropDuplicates(["fp"])`` NEVER evicts —
+    watermark cleanup only applies when the event-time column is part of
+    the dedup key, so the fingerprint set would grow with the stream's
+    whole history.  ``dropDuplicatesWithinWatermark`` is the bounded
+    shape: one state row per fingerprint seen within the watermark
+    horizon, evicted as the watermark passes it (duplicates separated by
+    MORE than the horizon re-emit — within-horizon exact dedup, the only
+    semantics with bounded state on an unbounded 10^12-turn stream;
+    whole-history exact dedup is the batch path's job).  Under a
+    single-batch availableNow replay the watermark never advances
+    mid-run, so the output equals global dedup and the sequential
+    oracle is exact.  The key is md5 of the
     space-trimmed lowercased text — replayable byte-for-byte by the
     sequential oracle (batch exact dedup uses xxhash64 for shuffle
     economy; a stream key must be replayable, and md5 is).
@@ -203,7 +213,7 @@ def streaming_exact_dedup(
         stream.where(F.col(text_col).isNotNull())
         .withColumn("fp", fp)
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["fp"])
+        .dropDuplicatesWithinWatermark(["fp"])
         .select("fp")
     )
 
@@ -317,10 +327,20 @@ def streaming_neardup_dedup(
     bucket) is a keyed-state group whose state is ONE string — the
     smallest row key that ever claimed the bucket.  A turn is a near-dup
     when ANY of its buckets was claimed by a strictly smaller key
-    (min-md5-wins: deterministic under any arrival order, replayable by a
-    sequential oracle).  Emits per-(turn, band) rows; the consumer ORs
-    them per turn — Spark allows only one stateful operator per query, so
-    the tiny OR-aggregate runs batch-side on the sink table.
+    (min-md5-wins: the FINAL bucket state is deterministic under any
+    arrival order, replayable by a sequential oracle).  Emits
+    per-(turn, band) rows; the consumer ORs them per turn — Spark
+    allows only one stateful operator per query, so the tiny
+    OR-aggregate runs batch-side on the sink table.
+
+    Honesty note on the emitted flags: when data spans several
+    micro-batches, a turn that arrives BEFORE the bucket's eventual
+    minimum key is emitted non-dup (nothing smaller had claimed the
+    bucket yet) — emitted labels are arrival-order-dependent across
+    batches even though the state converges.  Single-batch availableNow
+    replays (the driver check) are deterministic; a production run
+    wanting converged labels re-derives them batch-side from the final
+    bucket state, exactly like the batch path.
 
     Scale shape: state is one 32-char string per OCCUPIED bucket — the
     same cardinality the batch band-join shuffles — and the exchange keys

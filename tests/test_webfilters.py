@@ -121,3 +121,24 @@ def test_single_scan_no_exchange(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_gopher_symbol_ratios_tested_separately(spark):
+    """Rae et al. A1.1: hash and ellipsis ratios each vs 0.1 — a doc
+    with both ratios at 0.06 (sum 0.12) passes the published rule."""
+    import pyspark.sql.functions as F
+
+    from data_caterer_spark.functions.webfilters import gopher_flags
+
+    words = " ".join(["alpha"] * 100)
+    text = words + " " + "#" * 6 + " " + "..." * 2
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = gopher_flags(df.select("doc_id", F.col("text")),
+                       min_words=10, max_words=100000)
+    r = out.collect()[0]
+    assert r.symbol_ratio_ok  # 0.06 and 0.06, both under 0.1
+    # but 11 hashes alone (> 0.1) still fails
+    text2 = words + " " + "#" * 11
+    df2 = spark.createDataFrame([(1, text2)], "doc_id long, text string")
+    r2 = gopher_flags(df2, min_words=10, max_words=100000).collect()[0]
+    assert not r2.symbol_ratio_ok
