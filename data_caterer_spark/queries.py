@@ -5255,8 +5255,111 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "conversion_funnel_steps",
+    """
+    WITH stages AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS step_signup,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+    FROM stages
+    """,
+)
+def conversion_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup -> first click after it ->
+    first purchase after that): the match_recognize-style sequence
+    analytic expressed as ONE conditional-min aggregate per user plus a
+    stage-ordering predicate — a single combinable groupBy, no window,
+    no self-join, no per-event state.  NULL stage times fall out of the
+    ordering comparisons as SQL three-valued logic on BOTH sides."""
+    ev = _read(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(s1).alias("step_signup"),
+        F.count_if(s2).alias("step_click"),
+        F.count_if(s3).alias("step_purchase"),
+    )
+
+
+@_q(
+    "cohort_weekly_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_w
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_w,
+               CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_w
+                   AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_w, week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity WHERE week_offset <= 8
+    GROUP BY cohort_w, week_offset
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (the dataset-health analytic every
+    corpus/usage dashboard leads with): users cohorted by first-seen
+    epoch week, counted once per (cohort, week-offset) they were active
+    in.  Shape: one tiny per-user first-seen aggregate broadcast back
+    onto the events scan, distinct on (user, offset) with map-side
+    partial, capped at 8 offsets.  Epoch-week arithmetic is exact
+    integer division on both sides."""
+    ev = _read(spark, sf_dir, "events")
+
+    def week(c: str):
+        return F.expr(f"unix_micros(CAST({c} AS TIMESTAMP)) div 604800000000")
+
+    # floor is monotone, so min(week) == week(min ts) — one tiny agg
+    firsts = ev.groupBy("user_id").agg(F.min(week("ts")).alias("cohort_w"))
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_w",
+            (week("ts") - F.col("cohort_w")).alias("week_offset"),
+        )
+        .where(F.col("week_offset") <= 8)
+        .dropDuplicates(["user_id", "cohort_w", "week_offset"])
+    )
+    return activity.groupBy("cohort_w", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
+    "conversion_funnel_steps",
+    "cohort_weekly_retention",
     "html_text_extraction",
     "streaming_stream_join",
     "streaming_static_enrich",
@@ -5265,14 +5368,12 @@ _DRIVER_PRIORITY = [
     "rule_literal_quoting",
     "spearman_length_tokens",
     "grouped_topk_docs",
-    "length_quantiles_by_lang",
     "resumable_run_recovery",
     "sft_context_assembly",
     "preference_pair_mining",
     "asof_last_click",
     "interval_incident_counts",
     "cdc_latest_state",
-    "rolling_user_activity",
     "bloom_paragraph_dedup",
     "pii_provenance_profile",
     "template_turn_counts",
@@ -5307,11 +5408,13 @@ _DRIVER_PRIORITY = [
     "streaming_exact_dedup",
     "curation_funnel_end_to_end",
     "streaming_classifier_scores",
-    # the 50-cap ends just above: with 55 never-checked entries, the
-    # five deferred to round 5 are the LOWEST-risk ones — l_diversity
-    # (pure SQL twin of the checked k_anonymity_violations) and four
+    # the 50-cap ends just above: with 57 never-checked entries, the
+    # seven deferred to round 5 are the LOWEST-risk ones — l_diversity
+    # (pure SQL twin of the checked k_anonymity_violations), five
     # deterministic fixed-input oracles (write_omit_projection,
-    # metadata_schema_import, csv_read_modes, schema_evolution_merge) —
+    # metadata_schema_import, csv_read_modes, schema_evolution_merge,
+    # length_quantiles_by_lang), and rolling_user_activity (the temporal
+    # family keeps its asof/interval/CDC representatives in the cap) —
     # all still covered by driver_sim full sweeps and the sf0.001
     # pytest gate
     "l_diversity_violations",
@@ -5319,6 +5422,8 @@ _DRIVER_PRIORITY = [
     "metadata_schema_import",
     "csv_read_modes",
     "schema_evolution_merge",
+    "length_quantiles_by_lang",
+    "rolling_user_activity",
     # round-3-fresh entries whose operators changed THIS round (bpe
     # vocab caps, semdedup skew guard, winnowing cap, concat_pack exact
     # div): behavior changes outrank long-green staleness, so these sit
