@@ -5356,6 +5356,57 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "script_lang_consistency",
+    r"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))
+                    AS BIGINT) AS n_cjk,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                    AS BIGINT) AS n_latin
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN (lang = 'zh'
+                               AND n_cjk * 10 < n_cjk + n_latin)
+                           OR (lang <> 'zh'
+                               AND n_cjk * 2 > n_cjk + n_latin)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+    FROM s GROUP BY lang
+    """,
+)
+def script_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-language vs actual-script consistency (the metadata-lie
+    detector: a 'zh' doc with no CJK characters, or a Latin-language doc
+    that is mostly CJK, is mislabeled or corrupted — langid inputs and
+    routing both depend on catching it).  Pure zero-shuffle regexp
+    counting + one combinable aggregate; ratio thresholds expressed as
+    INTEGER cross-multiplications (n_cjk*10 < total, n_cjk*2 > total)
+    so no float division ever reaches the hash gate."""
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    n_cjk = F.size(
+        F.expr(r"regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0)")
+    ).cast("long")
+    n_latin = F.size(
+        F.expr("regexp_extract_all(text, '[A-Za-z]', 0)")
+    ).cast("long")
+    s = docs.select(
+        "lang", n_cjk.alias("n_cjk"), n_latin.alias("n_latin")
+    )
+    total = F.col("n_cjk") + F.col("n_latin")
+    mismatch = (
+        (F.col("lang") == "zh") & (F.col("n_cjk") * 10 < total)
+    ) | ((F.col("lang") != "zh") & (F.col("n_cjk") * 2 > total))
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(mismatch).alias("n_mismatch"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # never driver-checked (new this round)
     "conversion_funnel_steps",
@@ -5408,7 +5459,7 @@ _DRIVER_PRIORITY = [
     "streaming_exact_dedup",
     "curation_funnel_end_to_end",
     "streaming_classifier_scores",
-    # the 50-cap ends just above: with 57 never-checked entries, the
+    # the 50-cap ends just above: with 58 never-checked entries, the
     # seven deferred to round 5 are the LOWEST-risk ones — l_diversity
     # (pure SQL twin of the checked k_anonymity_violations), five
     # deterministic fixed-input oracles (write_omit_projection,
@@ -5417,6 +5468,7 @@ _DRIVER_PRIORITY = [
     # family keeps its asof/interval/CDC representatives in the cap) —
     # all still covered by driver_sim full sweeps and the sf0.001
     # pytest gate
+    "script_lang_consistency",
     "l_diversity_violations",
     "write_omit_projection",
     "metadata_schema_import",
