@@ -101,7 +101,16 @@ def asof_join(
     # A NULL right timestamp can never satisfy ts_right <= ts_left (SQL
     # three-valued logic; DuckDB ASOF returns no match) — but it would
     # sort NULLS FIRST here and pollute the running last.  Drop them.
-    right = right.where(F.col(ts_col).isNotNull())
+    # Likewise NULL KEYS: window partitionBy groups NULLs together, so a
+    # NULL-key left row would match a NULL-key right row where SQL
+    # equality-join semantics (NULL = NULL is not true) produce no
+    # match.  Dropping NULL-key RIGHT rows restores equality semantics;
+    # NULL-key LEFT rows are kept and come back unmatched (nulls), same
+    # as a left equality join.
+    null_key = F.lit(False)
+    for k in keys:
+        null_key = null_key | F.col(k).isNull()
+    right = right.where(F.col(ts_col).isNotNull() & ~null_key)
     # The whole right row travels as ONE struct (payloads + matched ts):
     # last(ignorenulls) over a struct is atomic — either the entire
     # matched row or nothing.  Carrying each payload column in its own

@@ -3212,6 +3212,10 @@ def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT c_nationkey, c_mktsegment,
              CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
       FROM customer
+      -- NULL sensitive values are absent attributes, not diversity:
+      -- the operator filters them pre-dedup, so the oracle must too
+      -- (count(DISTINCT) semantics shared by both surfaces)
+      WHERE c_acctbal IS NOT NULL
     )
     GROUP BY c_nationkey, c_mktsegment
     HAVING count(*) < 6
@@ -4574,6 +4578,10 @@ def length_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, doc_id, n_chars,
                CAST(len({_TOKS_SQL}) AS BIGINT) AS n_ws
         FROM documents
+        -- NULL text must be excluded on BOTH surfaces: Spark's
+        -- size(split(NULL)) sorts NULL/-1 FIRST while DuckDB's NULL
+        -- len sorts NULLS LAST — ranks would diverge otherwise
+        WHERE text IS NOT NULL
     ), ranked AS (
         SELECT lang,
                CAST(row_number() OVER (PARTITION BY lang
@@ -4605,8 +4613,14 @@ def spearman_length_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard large-n approximation — this query pins the exact
     semantics."""
     ws = F.array_remove(F.split("text", _WS_SQL), "")
-    base = _read(spark, sf_dir, "documents").select(
-        "lang", "doc_id", "n_chars", F.size(ws).cast("long").alias("n_ws")
+    base = (
+        _read(spark, sf_dir, "documents")
+        # mirror the oracle's NULL-text filter: size(split(NULL)) would
+        # rank NULLs FIRST in Spark vs DuckDB's NULLS LAST
+        .where(F.col("text").isNotNull())
+        .select(
+            "lang", "doc_id", "n_chars", F.size(ws).cast("long").alias("n_ws")
+        )
     )
     rx = F.row_number().over(
         Window.partitionBy("lang").orderBy("n_chars", "doc_id")
@@ -5408,66 +5422,8 @@ def script_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIVER_PRIORITY = [
-    # never driver-checked (new this round)
-    "conversion_funnel_steps",
-    "cohort_weekly_retention",
-    "html_text_extraction",
-    "streaming_stream_join",
-    "streaming_static_enrich",
-    "inference_field_specs",
-    "validation_error_samples",
-    "rule_literal_quoting",
-    "spearman_length_tokens",
-    "grouped_topk_docs",
-    "resumable_run_recovery",
-    "sft_context_assembly",
-    "preference_pair_mining",
-    "asof_last_click",
-    "interval_incident_counts",
-    "cdc_latest_state",
-    "bloom_paragraph_dedup",
-    "pii_provenance_profile",
-    "template_turn_counts",
-    "diversity_cluster_sample",
-    "tokenizer_fertility_by_lang",
-    "exact_substring_dedup",
-    "bucketed_join_revenue",
-    "gopher_rule_decisions",
-    "c4_filter_decisions",
-    "web_quality_funnel",
-    "streaming_neardup_dedup",
-    "pq_adc_topk_embeddings",
-    "perplexity_buckets",
-    "chat_jsonl_export",
-    "compression_ratio_signal",
-    "incremental_ingest_decisions",
-    "classifier_threshold_sweep",
-    "hard_negative_mining",
-    "role_transition_counts",
-    "neardup_quality_reps",
-    "mix_plan_tokens",
-    "langid_confidence_margin",
-    "dsir_log_weights",
-    "dsir_selected_docs",
-    "top_ngram_heavy_hitters",
-    "ngram_doc_frequency",
-    "k_anonymity_violations",
-    "privacy_anonymity_summary",
-    "url_filter_decisions",
-    "quality_classifier_scores",
-    "sliding_window_chunks",
-    "streaming_exact_dedup",
-    "curation_funnel_end_to_end",
-    "streaming_classifier_scores",
-    # the 50-cap ends just above: with 58 never-checked entries, the
-    # seven deferred to round 5 are the LOWEST-risk ones — l_diversity
-    # (pure SQL twin of the checked k_anonymity_violations), five
-    # deterministic fixed-input oracles (write_omit_projection,
-    # metadata_schema_import, csv_read_modes, schema_evolution_merge,
-    # length_quantiles_by_lang), and rolling_user_activity (the temporal
-    # family keeps its asof/interval/CDC representatives in the cap) —
-    # all still covered by driver_sim full sweeps and the sf0.001
-    # pytest gate
+    # ---- round-5 cap (50): the 8 queries never in ANY driver artifact
+    # (union r1-r4) run FIRST — VERDICT r4 next-steps item #3
     "script_lang_consistency",
     "l_diversity_violations",
     "write_omit_projection",
@@ -5476,25 +5432,27 @@ _DRIVER_PRIORITY = [
     "schema_evolution_merge",
     "length_quantiles_by_lang",
     "rolling_user_activity",
-    # round-3-fresh entries whose operators changed THIS round (bpe
-    # vocab caps, semdedup skew guard, winnowing cap, concat_pack exact
-    # div): behavior changes outrank long-green staleness, so these sit
-    # ABOVE the r02-stale block.  The 50 never-checked entries ahead now
-    # fill the cap EXACTLY, so none of these five get an r04 row — every
-    # one was re-verified hash-exact by this round's full driver_sim
-    # sweeps (120/120, 125/125) AFTER its change landed, and the sf0.001
-    # pytest gate runs them every round
-    "bpe_token_counts",
-    "semantic_dedup_drops",
-    "winnowing_overlap",
-    "pretrain_packing_bins",
-    "plan_run_end_to_end",
-    # round-4 rotation: queries whose last driver row is r02 (rotated out
-    # of r03's 50-query cap) run next; the ordering inside this block
-    # puts behavior-rich pipelines first and golden-replayed /
-    # long-green generators and media codecs last (those stay covered by
-    # driver_sim 122/122 and the sf0.001 pytest gate even when they miss
-    # a capped round)
+    # new this round (round 5)
+    "protobuf_schema_import",
+    "iceberg_snapshot_reads",
+    "scd2_dimension_build",
+    "skewed_join_aqe_counts",
+    "reservoir_sample_stats",
+    "shingle_containment_pairs",
+    "robots_meta_compliance",
+    "dom_boilerplate_ratio",
+    "edit_distance_neardups",
+    "jsonl_agent_trace_parse",
+    "tool_call_integrity",
+    "streaming_rate_limited_sink",
+    # behavior changed THIS round (NULL-semantics fixes + classifier
+    # sparse gradient path + streaming neardup state expiry): re-check
+    # outranks staleness
+    "spearman_length_tokens",
+    "asof_last_click",
+    "quality_classifier_scores",
+    "streaming_neardup_dedup",
+    # last driver row is r02 (3 rounds stale) — all 25 re-enter the cap
     "doc_quality_filter",
     "transcript_quality_filter",
     "ngram_jaccard_dups",
@@ -5520,6 +5478,27 @@ _DRIVER_PRIORITY = [
     "generate_typed_invariants",
     "set_ops_orphan_keys",
     "set_ops_shared_keys_count",
+    # ---- the 50-cap ends just above.  Below: last driver row r03 —
+    # after this round every such query is exactly 2 rounds stale, the
+    # rotation's documented bound; all are re-verified every round by
+    # the full driver_sim sweep and the sf0.001 pytest gate.  Behavior-
+    # rich pipelines first so any cap slack reaches them before the
+    # golden-replayed generator/codec entries at the tail.
+    "bpe_token_counts",
+    "semantic_dedup_drops",
+    "winnowing_overlap",
+    "pretrain_packing_bins",
+    "plan_run_end_to_end",
+    "rule_violation_counts",
+    "rule_keep_per_row",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "window_turn_order",
+    "events_sessionize",
+    "scrub_documents",
+    "streaming_quality_turns",
+    "upstream_join_validation",
+    "column_profile",
 ]
 
 

@@ -50,6 +50,25 @@ def test_asof_join_semantics(spark):
     ]
 
 
+def test_asof_join_null_keys_never_match(spark):
+    # SQL equality semantics: NULL = NULL is not true, so a NULL-key
+    # left row must come back UNMATCHED even when a NULL-key right row
+    # exists at an earlier timestamp (window partitionBy would
+    # otherwise group the NULLs together and match them).
+    left = spark.createDataFrame(
+        [(None, _ts(10)), (1, _ts(10))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(None, _ts(9), 100), (1, _ts(9), 200)],
+        "k long, ts timestamp, v long",
+    )
+    out = asof_join(left, right, ["k"], "ts", ["v"]).orderBy(
+        F.asc_nulls_first("k")
+    )
+    rows = [(r.k, r.asof_v) for r in out.collect()]
+    assert rows == [(None, None), (1, 200)]
+
+
 def test_asof_join_tiebreak_is_max(spark):
     left = spark.createDataFrame([(1, _ts(10))], "k long, ts timestamp")
     right = spark.createDataFrame(
