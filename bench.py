@@ -527,12 +527,93 @@ def main() -> None:
         "pipeline_turns_per_sec": round(n_turns / pipe_sec, 1),
     }
     if args.job == "pipeline":
+        # subprocess mode (consumed by run_scaling's parser, not the
+        # round driver): sample list stays inline
         result["pipeline_sample_secs"] = pipe_samples
+        print(json.dumps(result))
+        return
     if size_scaling is not None:
         result["size_scaling"] = size_scaling
     if scaling is not None:
         result["scaling"] = scaling
-    print(json.dumps(result))
+    print(json.dumps(_compact_for_driver(result)))
+
+
+#: ceiling for the driver-facing line: round 4's line (per-trial logs +
+#: protocol prose) outgrew the driver's stdout capture and the artifact
+#: recorded parsed=null — scalars only below this size, everything
+#: verbose goes to BENCH_DETAIL.json
+MAX_DRIVER_LINE = int(os.environ.get("SPARK_GRAFT_MAX_DRIVER_LINE", "1800"))
+
+DETAIL_FILE = "BENCH_DETAIL.json"
+
+
+def _compact_for_driver(result: dict) -> dict:
+    """Write the FULL result (per-trial logs, DRAM probe traces, protocol
+    text, hw ceilings) to ``BENCH_DETAIL.json`` and return a scalars-only
+    line guaranteed to fit the driver's capture.  Lesson of round 4:
+    `parsed: null` loses the whole round's numbers — the driver-facing
+    JSON must stay small no matter how much evidence the run gathered."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo, DETAIL_FILE), "w") as f:
+            json.dump(result, f, indent=1)
+        detail_ok = True
+    except OSError:
+        detail_ok = False
+
+    compact = {
+        k: result[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf", "cpus",
+            "pipeline_turns", "pipeline_turns_per_sec",
+        )
+        if k in result
+    }
+    if result.get("size_scaling") is not None:
+        compact["size_scaling"] = [
+            {
+                "turns": p["turns"],
+                "sec": p["sec"],
+                "tps": p["turns_per_sec"],
+            }
+            for p in result["size_scaling"]
+        ]
+    s = result.get("scaling")
+    if s is not None:
+        compact["scaling"] = {
+            "efficiency": s["efficiency"],
+            "cpus_n": s["cpus_n"],
+            "cpus_4n": s["cpus_4n"],
+            "turns_per_sec_n": round(s["turns_per_sec_n"]),
+            "turns_per_sec_4n": round(s["turns_per_sec_4n"]),
+            "samples_n": [round(r) for r in s["samples_n"]][:8],
+            "samples_4n": [round(r) for r in s["samples_4n"]][:8],
+            "window_saturated": s["window_saturated"],
+            "wide_quiet_seen": s["wide_quiet_seen"],
+            "quiet_wait_s": s["quiet_wait_s"],
+        }
+        if detail_ok:
+            compact["scaling"]["detail"] = DETAIL_FILE
+    elif detail_ok:
+        compact["detail"] = DETAIL_FILE
+
+    # hard size guard: degrade gracefully (drop sample lists first, then
+    # per-query timings) rather than ever printing an unparseable line
+    line = json.dumps(compact)
+    if len(line) > MAX_DRIVER_LINE and "scaling" in compact:
+        compact["scaling"].pop("samples_n", None)
+        compact["scaling"].pop("samples_4n", None)
+        line = json.dumps(compact)
+    if len(line) > MAX_DRIVER_LINE:
+        compact["queries"] = {
+            k: compact["queries"][k]
+            for k in sorted(
+                compact["queries"], key=compact["queries"].get, reverse=True
+            )[:20]
+        }
+        compact["queries_truncated_see_detail"] = True
+    return compact
 
 
 if __name__ == "__main__":
