@@ -12,10 +12,13 @@ new-build requirement of the training-data brief, built Spark-first:
   counts per document (same md5 bucket kernel as the DSIR path, so the
   feature space is shared with importance weighting);
 * **train** — batch gradient descent.  Each iteration broadcasts the
-  weight vector and runs ONE ``mapInPandas`` pass that emits a single
-  dense partial-gradient row per PARTITION (the treeAggregate shape:
-  the driver collects #partitions rows of ``n_features`` int64s, never
-  per-document rows, and there is no shuffle at all);
+  weight vector and runs ONE ``mapInPandas`` pass emitting int64
+  partial gradients per PARTITION, in one of two bit-identical shapes:
+  dense (one ``n_features``-long row per partition, driver-summed,
+  shuffle-free — the treeAggregate shape, right at small feature
+  counts) or sparse (nonzero ``(bucket, sum)`` pairs + ONE combinable
+  ``groupBy`` so nothing n_features-dense crosses to the driver — the
+  fastText-scale shape, default above ``SPARSE_FEATURES_THRESHOLD``);
 * **infer** — broadcast weights, one Arrow crossing, pure per-row
   scoring.
 
@@ -29,10 +32,12 @@ update is plain sequential float64 on those integer sums, so the whole
 weight TRAJECTORY is reproducible.
 
 At 10^9+ documents and n_features beyond ~2^20, the dense partial row
-(8 B x n_features per partition) is the knob to watch: either cap
-n_features (fastText itself defaults to 2^21 bigram buckets) or switch
-the partial emit to sparse (bucket, sum) pairs + one combinable
-groupBy — the semantics and the int64 exactness are unchanged.
+(8 B x n_features per partition) stops being free: fastText's default
+2^21 buckets x 10^4-10^5 partitions would move 100s of GB to one
+process.  ``partial_mode="auto"`` therefore switches to the sparse
+(bucket, sum) + combinable-groupBy reduction above
+``SPARSE_FEATURES_THRESHOLD`` — same integer sums, same weight
+trajectory, bounded driver traffic.
 """
 
 from __future__ import annotations
@@ -229,6 +234,123 @@ _PARTIAL_SCHEMA = StructType(
     ]
 )
 
+_SPARSE_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("bucket", LongType()),
+        StructField("val", LongType()),
+    ]
+)
+
+#: sentinel buckets carrying the scalar sums through the same combinable
+#: aggregate as the gradient entries (real buckets are >= 0)
+_BIAS_KEY, _LOSS_KEY, _NDOCS_KEY = -1, -2, -3
+
+#: above this feature count the dense per-partition partial row
+#: (8 B x n_features each, collected to the driver) stops being free —
+#: fastText's own default is 2^21 bigram buckets x 10^4-10^5 partitions
+#: = 100s of GB to one process — so ``partial_mode="auto"`` switches to
+#: the sparse (bucket, sum) + ONE combinable groupBy reduction
+SPARSE_FEATURES_THRESHOLD = 65536
+
+
+def _accumulate_partial(batches, bc, n_features):
+    """Shared per-partition accumulation (identical for dense and sparse
+    emit): fold every Arrow batch through :func:`_train_sums`."""
+    wv, bv = bc.value
+    wloc = np.frombuffer(wv, dtype=np.float64)
+    grad = np.zeros(n_features, dtype=np.int64)
+    bias_g = 0
+    loss = 0
+    n = 0
+    for pdf in batches:
+        g2, b2, l2, n2 = _train_sums(
+            zip(pdf["buckets"], pdf["counts"], pdf["total"], pdf["y"]),
+            wloc,
+            bv,
+            n_features,
+        )
+        grad += g2
+        bias_g += b2
+        loss += l2
+        n += n2
+    return grad, bias_g, loss, n
+
+
+def _sparse_partials_df(feat: DataFrame, bc, n_features: int) -> DataFrame:
+    """The sparse reduction plan: each partition emits only its NONZERO
+    (bucket, int64 sum) gradient entries plus three sentinel scalar rows,
+    and ONE combinable ``groupBy(bucket).sum`` (map-side partial
+    aggregate -> exchange on 8-byte keys -> final aggregate) reduces
+    across partitions.  Nothing n_features-dense ever crosses to the
+    driver: the collect is at most nnz(grad)+3 two-long rows AFTER the
+    full combine.  Integer sums commute, so the result is bit-identical
+    to the dense path and to the sequential replay."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grad, bias_g, loss, n = _accumulate_partial(batches, bc, n_features)
+        nz = np.nonzero(grad)[0]
+        yield pd.DataFrame(
+            {
+                "bucket": np.concatenate(
+                    [nz, [_BIAS_KEY, _LOSS_KEY, _NDOCS_KEY]]
+                ).astype(np.int64),
+                "val": np.concatenate(
+                    [grad[nz], [bias_g, loss, n]]
+                ).astype(np.int64),
+            }
+        )
+
+    return (
+        feat.mapInPandas(gen, _SPARSE_PARTIAL_SCHEMA)
+        .groupBy("bucket")
+        .agg(F.sum("val").alias("val"))
+    )
+
+
+def _reduce_sparse(feat, bc, n_features):
+    rows = _sparse_partials_df(feat, bc, n_features).collect()
+    grad = np.zeros(n_features, dtype=np.int64)
+    bias_g = 0
+    loss = 0
+    n = 0
+    for r in rows:
+        b = int(r["bucket"])
+        v = int(r["val"])
+        if b == _BIAS_KEY:
+            bias_g = v
+        elif b == _LOSS_KEY:
+            loss = v
+        elif b == _NDOCS_KEY:
+            n = v
+        else:
+            grad[b] = v
+    return grad, bias_g, loss, n
+
+
+def _reduce_dense(feat, bc, n_features):
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grad, bias_g, loss, n = _accumulate_partial(batches, bc, n_features)
+        yield pd.DataFrame(
+            {
+                "grad": [grad.tolist()],
+                "bias_grad": [bias_g],
+                "loss": [loss],
+                "n_docs": [n],
+            }
+        )
+
+    parts = feat.mapInPandas(partial, _PARTIAL_SCHEMA).collect()
+    grad = np.zeros(n_features, dtype=np.int64)
+    bias_g = 0
+    loss = 0
+    n = 0
+    for r in parts:
+        grad += np.asarray(r["grad"], dtype=np.int64)
+        bias_g += int(r["bias_grad"])
+        loss += int(r["loss"])
+        n += int(r["n_docs"])
+    return grad, bias_g, loss, n
+
 
 def train(
     df: DataFrame,
@@ -240,16 +362,37 @@ def train(
     text_col: str = "text",
     include_bigrams: bool = True,
     features: "DataFrame | None" = None,
+    partial_mode: str = "auto",
 ) -> QualityClassifier:
-    """Batch-GD training: per iteration ONE shuffle-free pass emitting a
-    dense int64 partial gradient per partition; the driver sums the
-    integers (order-independent) and takes the float step.
+    """Batch-GD training: per iteration ONE pass emitting int64 partial
+    gradients per partition; the driver sums the integers
+    (order-independent) and takes the float step.
+
+    ``partial_mode`` picks the reduction shape — identical bits either
+    way, different wire cost:
+
+    * ``"dense"`` — one ``n_features``-long int64 row per partition,
+      summed on the driver.  Shuffle-free; right while
+      8 B x n_features x n_partitions fits one process.
+    * ``"sparse"`` — each partition emits only its nonzero
+      ``(bucket, sum)`` pairs (+ 3 sentinel scalars) and ONE combinable
+      ``groupBy(bucket).sum`` reduces them cluster-side; the driver
+      collects at most nnz+3 two-long rows.  Right at fastText-scale
+      feature counts (2^21) x 10^4+ partitions, where the dense shape
+      would move 100s of GB to the driver.
+    * ``"auto"`` (default) — sparse when ``n_features >
+      SPARSE_FEATURES_THRESHOLD``, dense otherwise.
 
     ``features`` — a pre-built (and ideally persisted) :func:`featurize`
     frame.  Featurization is the expensive text pass; a caller that also
     scores should build it ONCE, train with it, then score via
     :func:`infer_from_features` instead of re-featurizing in
     :func:`infer`.  The caller owns its persistence."""
+    if partial_mode not in ("auto", "dense", "sparse"):
+        raise ValueError(f"unknown partial_mode {partial_mode!r}")
+    use_sparse = partial_mode == "sparse" or (
+        partial_mode == "auto" and n_features > SPARSE_FEATURES_THRESHOLD
+    )
     owns_feat = features is None
     feat = (
         featurize(
@@ -267,51 +410,8 @@ def train(
     try:
         for _ in range(iters):
             bc = spark.sparkContext.broadcast((w.tobytes(), bias))
-
-            def partial(
-                batches: Iterator[pd.DataFrame],
-            ) -> Iterator[pd.DataFrame]:
-                wv, bv = bc.value
-                wloc = np.frombuffer(wv, dtype=np.float64)
-                grad = np.zeros(n_features, dtype=np.int64)
-                bias_g = 0
-                loss = 0
-                n = 0
-                for pdf in batches:
-                    g2, b2, l2, n2 = _train_sums(
-                        zip(
-                            pdf["buckets"],
-                            pdf["counts"],
-                            pdf["total"],
-                            pdf["y"],
-                        ),
-                        wloc,
-                        bv,
-                        n_features,
-                    )
-                    grad += g2
-                    bias_g += b2
-                    loss += l2
-                    n += n2
-                yield pd.DataFrame(
-                    {
-                        "grad": [grad.tolist()],
-                        "bias_grad": [bias_g],
-                        "loss": [loss],
-                        "n_docs": [n],
-                    }
-                )
-
-            parts = feat.mapInPandas(partial, _PARTIAL_SCHEMA).collect()
-            grad = np.zeros(n_features, dtype=np.int64)
-            bias_g = 0
-            loss = 0
-            n = 0
-            for r in parts:
-                grad += np.asarray(r["grad"], dtype=np.int64)
-                bias_g += int(r["bias_grad"])
-                loss += int(r["loss"])
-                n += int(r["n_docs"])
+            reduce = _reduce_sparse if use_sparse else _reduce_dense
+            grad, bias_g, loss, n = reduce(feat, bc, n_features)
             if n == 0:
                 break
             w = w - lr * (grad.astype(np.float64) / FIXED_SCALE / n)

@@ -85,6 +85,72 @@ def test_empty_and_null_text_score_bias_only(spark):
     assert rows[1]["score_fixed"] == rows[2]["score_fixed"]
 
 
+def test_sparse_partials_match_dense_bit_exactly(spark):
+    """The fastText-scale sparse (bucket, sum) + combinable-groupBy
+    reduction must produce the IDENTICAL weight trajectory as the dense
+    per-partition rows and the sequential replay — integer sums commute
+    regardless of the reduction wire shape."""
+    kw = dict(n_features=N_FEATURES, iters=5, lr=0.5)
+    m_dense = CLS.train(
+        _df(spark), F.col("y") == 1, partial_mode="dense", **kw
+    )
+    m_sparse = CLS.train(
+        _df(spark, 8), F.col("y") == 1, partial_mode="sparse", **kw
+    )
+    m_seq = CLS.train_sequential([(d, t, y) for d, t, y in ROWS], **kw)
+    assert m_sparse.weights.tobytes() == m_dense.weights.tobytes()
+    assert m_sparse.weights.tobytes() == m_seq.weights.tobytes()
+    assert m_sparse.bias == m_dense.bias == m_seq.bias
+    assert (
+        m_sparse.loss_history_fixed
+        == m_dense.loss_history_fixed
+        == m_seq.loss_history_fixed
+    )
+
+
+def test_auto_mode_picks_sparse_above_threshold():
+    assert CLS.SPARSE_FEATURES_THRESHOLD < 2**21  # fastText default size
+    # the auto rule itself (no Spark needed): mirrors train()'s gate
+    for nf, expect in [
+        (4096, False),
+        (CLS.SPARSE_FEATURES_THRESHOLD, False),
+        (CLS.SPARSE_FEATURES_THRESHOLD + 1, True),
+        (2**21, True),
+    ]:
+        use_sparse = nf > CLS.SPARSE_FEATURES_THRESHOLD
+        assert use_sparse is expect, nf
+
+
+def test_sparse_reduction_shape_no_dense_rows_to_driver(spark):
+    """Plan + payload shape of the sparse path: map-side partial
+    aggregate before the exchange (combinable groupBy on 8-byte keys),
+    and the collected result is (bucket, val) pairs bounded by nnz+3 —
+    nothing n_features-dense crosses to the driver."""
+    feat = CLS.featurize(
+        _df(spark, 4).select("doc_id", "text", "y"),
+        F.col("y") == 1,
+        N_FEATURES,
+    ).persist()
+    feat.count()
+    try:
+        w = np.zeros(N_FEATURES, dtype=np.float64)
+        bc = spark.sparkContext.broadcast((w.tobytes(), 0.0))
+        sp = CLS._sparse_partials_df(feat, bc, N_FEATURES)
+        plan = sp._jdf.queryExecution().executedPlan().toString()
+        # partial agg -> exchange -> final agg: the combine happens
+        # BEFORE the shuffle, and the row payload is two longs
+        assert plan.count("HashAggregate") >= 2
+        assert "Exchange hashpartitioning(bucket" in plan
+        rows = sp.collect()
+        assert len(rows[0].asDict()) == 2  # (bucket, val) only
+        assert len(rows) <= N_FEATURES + 3
+        # sentinel scalars present exactly once each after the combine
+        sentinels = [r["bucket"] for r in rows if r["bucket"] < 0]
+        assert sorted(sentinels) == [-3, -2, -1]
+    finally:
+        feat.unpersist()
+
+
 def test_partial_gradient_pass_is_shuffle_free(spark):
     """The per-iteration pass must be mapInPandas over the persisted
     features with NO exchange (the treeAggregate shape)."""
