@@ -4833,6 +4833,106 @@ def metadata_schema_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TURN_PROTO_DESC = [
+    {
+        "name": "turn.proto",
+        "package": "dcs.demo",
+        "messages": [
+            {
+                "name": "Turn",
+                "fields": [
+                    {"name": "conv_id", "number": 1, "type": 9},
+                    {"name": "turn_idx", "number": 2, "type": 5},
+                    {"name": "score", "number": 3, "type": 1},
+                    {"name": "keep", "number": 4, "type": 8},
+                    {"name": "payload", "number": 5, "type": 12},
+                    {"name": "role", "number": 6, "type": 14,
+                     "type_name": ".dcs.demo.Role"},
+                    {"name": "meta", "number": 7, "type": 11,
+                     "type_name": ".dcs.demo.Meta"},
+                    {"name": "tags", "number": 8, "type": 9,
+                     "repeated": True},
+                ],
+            },
+            {
+                "name": "Meta",
+                "fields": [
+                    {"name": "lang", "number": 1, "type": 9},
+                    {"name": "tokens", "number": 2, "type": 3},
+                ],
+            },
+        ],
+        "enums": [{"name": "Role", "values": ["USER", "ASSISTANT", "TOOL"]}],
+    }
+]
+
+
+@_q(
+    "protobuf_schema_import",
+    """
+    SELECT * FROM (VALUES
+        ('Meta', 'lang',     'string',  'string',  true),
+        ('Meta', 'tokens',   'bigint',  'bigint',  true),
+        ('Turn', 'conv_id',  'string',  'string',  true),
+        ('Turn', 'keep',     'boolean', 'boolean', true),
+        ('Turn', 'meta',     'struct<lang:string,tokens:bigint>',
+                             'struct<lang:string,tokens:bigint>', true),
+        ('Turn', 'payload',  'binary',  'binary',  true),
+        ('Turn', 'role',     'string',  'string',  true),
+        ('Turn', 'score',    'double',  'double',  true),
+        ('Turn', 'tags',     'string',  'string',  true),
+        ('Turn', 'turn_idx', 'int',     'int',     true)
+    ) AS t(message, field, declared_type, generated_type, enum_valid)
+    ORDER BY message, field
+    """,
+)
+def protobuf_schema_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf descriptor → schema import END-TO-END (the reference's
+    `ProtobufUtil.scala:14-74` surface): a `FileDescriptorSet` (built by
+    the package's own deterministic encoder — `protoc
+    --descriptor_set_out` wire format, no protobuf wheel) parses into
+    Spark StructTypes AND FieldSpec trees, the specs GENERATE a table,
+    and each row pairs the descriptor-declared Spark type with the dtype
+    generation actually produced.  `enum_valid` additionally proves the
+    generated enum column only emits the descriptor's declared enum
+    VALUES (richer than the reference's ENUM→string mapping).  Parity
+    quirk kept: the repeated label is ignored (`tags` imports as plain
+    string), as in `getSchemaFromFieldsProto`."""
+    from .operators.generator import generate
+    from .operators.protobuf import (
+        encode_file_descriptor_set,
+        to_field_specs,
+        to_struct_types,
+    )
+
+    desc = encode_file_descriptor_set(_TURN_PROTO_DESC)
+    structs = to_struct_types(desc)
+    specs = to_field_specs(desc)
+    rows = []
+    for message in sorted(structs):
+        gen = generate(spark, specs[message], 40)
+        declared = {
+            f.name: f.dataType.simpleString() for f in structs[message].fields
+        }
+        produced = dict(gen.dtypes)
+        if message == "Turn":
+            bad_enum = gen.where(
+                ~F.col("role").isin("USER", "ASSISTANT", "TOOL")
+            ).count()
+            enum_ok = bad_enum == 0
+        else:
+            enum_ok = True
+        rows.extend(
+            (message, name, declared[name], produced[name], enum_ok)
+            for name in declared
+        )
+    return spark.createDataFrame(
+        rows,
+        "message string, field string, declared_type string, "
+        "generated_type string, enum_valid boolean",
+    ).orderBy("message", "field")
+
+
 @_q(
     "write_omit_projection",
     """
