@@ -4833,6 +4833,60 @@ def metadata_schema_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "skewed_join_aqe_counts",
+    """
+    WITH f AS (
+        SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                    ELSE l_orderkey % 97 END AS k,
+               l_quantity
+        FROM lineitem
+    ), d AS (
+        SELECT range AS k, CAST(range % 7 + 1 AS DOUBLE) AS weight
+        FROM range(0, 97)
+    )
+    SELECT f.k,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity * weight), 2) AS wsum
+    FROM f JOIN d ON f.k = d.k
+    GROUP BY f.k
+    ORDER BY f.k
+    """,
+)
+def skewed_join_aqe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join correctness under planted skew: ~80% of lineitem
+    rows collapse onto ONE join key before a fact×dim equi-join and a
+    per-key rollup.  The result is plan-independent — whether AQE splits
+    the hot partition (pinned at low thresholds by
+    `tests/test_plans.py::test_aqe_splits_planted_skewed_join`),
+    broadcasts the 97-row dim, or runs a plain SMJ, the numbers must be
+    identical.  Exactness: quantities and weights are small integers in
+    doubles, so every partial sum is exact regardless of partitioning.
+    This is the 100 TB skew story's correctness half; the plan half
+    (AQEShuffleRead skewed) lives in the pytest."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 97)
+        .alias("k"),
+        "l_quantity",
+    )
+    dim = spark.range(0, 97).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7 + 1).cast("double").alias("weight"),
+    )
+    return (
+        li.join(dim, "k")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity") * F.col("weight")), 2).alias(
+                "wsum"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
 _TURN_PROTO_DESC = [
     {
         "name": "turn.proto",

@@ -231,3 +231,63 @@ def test_preference_pairs_aggregate_not_window(spark, sf_dir):
     assert "max_by" in plan or "HashAggregate" in plan, plan
     # margin threshold actually enforced
     assert df.where("margin < 5.0").count() == 0
+
+
+def test_aqe_splits_planted_skewed_join(spark):
+    """Spill/straggler evidence for the 100 TB story: a deliberately
+    skewed sort-merge join (one key carrying ~90% of rows) must trigger
+    AQE's skew-join split — the FINAL adaptive plan shows
+    ``SortMergeJoin(skew=true)`` reading from an ``AQEShuffleRead
+    skewed`` node — while results stay exact.  Thresholds are lowered so
+    the sandbox-sized input exhibits the 100x-scale condition; at
+    defaults the same plan handles a 256 MB+ hot partition."""
+    import pyspark.sql.functions as F
+
+    keys = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for k, v in keys.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(0, 97).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        out = left.join(right, "k").select(
+            "k", F.length("payload").alias("lp"), "v"
+        )
+        # the action must run OUT's own queryExecution (a count() plans a
+        # separate execution and the adaptive plan would stay non-final)
+        rows = out.collect()
+        plan = _plan(out)
+        assert "isFinalPlan=true" in plan, plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+        # exactness under the split: inner join covers every row
+        assert len(rows) == 60000
+        hot = sum(1 for r in rows if r.k == 0)
+        expected_hot = sum(
+            1 for i in range(60000) if i % 10 < 9 or i % 97 == 0
+        )
+        assert hot == expected_hot
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
