@@ -26,7 +26,7 @@ pre-bucket the source by conv_id so the exchange is avoided entirely).
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Tuple
+from typing import Any, Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -290,11 +290,19 @@ def _neardup_fn(
     key: Tuple[Any, ...],
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
+    horizon_ms: Optional[int] = None,
 ) -> Iterator[pd.DataFrame]:
     """Per-(band, bucket) state: the smallest row key ever seen.  A row is
     a dup-from-this-band when a strictly smaller key already claimed the
     bucket (in this batch or any earlier one) — min-key-wins is arrival-
-    order-invariant, so the stream replays byte-identically."""
+    order-invariant, so the stream replays byte-identically.
+
+    With ``horizon_ms`` set (event-time timeout mode) the bucket's state
+    carries an expiry: after the watermark passes ``last event in the
+    bucket + horizon_ms`` and the bucket receives no further data, Spark
+    invokes this function with ``hasTimedOut`` and the state is dropped —
+    total state is bounded by the buckets touched inside one watermark
+    horizon instead of growing forever."""
     if state.hasTimedOut:
         state.remove()
         return
@@ -306,6 +314,14 @@ def _neardup_fn(
     m = df["key"].min()
     eff = m if prev is None or m < prev else prev
     state.update((eff,))
+    if horizon_ms is not None:
+        # timeout = last event seen in this bucket + horizon, clamped
+        # strictly above the current watermark (Spark rejects timestamps
+        # at-or-below it).  pandas Timestamp .value is ns since epoch.
+        mx_ms = int(df["__ets"].max().value // 1_000_000)
+        state.setTimeoutTimestamp(
+            max(mx_ms + horizon_ms, state.getCurrentWatermarkMs() + 1)
+        )
     out = df[["conv_id", "turn_idx", "key"]].copy()
     out["dup"] = df["key"] > eff
     yield out
@@ -318,6 +334,9 @@ def streaming_neardup_dedup(
     bands: int = 8,
     k: int = 2,
     seed: int = 42,
+    ts_col: Optional[str] = None,
+    state_horizon_ms: int = 600_000,
+    watermark_delay: str = "1 minute",
 ) -> DataFrame:
     """Streaming MinHash-LSH near-dup detection: the streaming twin of the
     batch banded-MinHash path (``operators/dedup.py minhash_lsh_pairs``).
@@ -345,16 +364,28 @@ def streaming_neardup_dedup(
     Scale shape: state is one 32-char string per OCCUPIED bucket — the
     same cardinality the batch band-join shuffles — and the exchange keys
     on (band, bucket), so hot-text skew spreads across ``bands`` groups.
-    For an unbounded stream, bound state with a watermark on the source
-    and an event-time timeout horizon (the recent-window dedup semantics
-    of ``streaming_exact_dedup``); the availableNow replay used by tests
-    and the driver fires no timeouts.
+
+    State eviction: pass ``ts_col`` to bound state for an unbounded
+    stream.  A watermark (``watermark_delay``) is set on the event-time
+    column and every bucket arms a ``GroupStateTimeout.EventTimeTimeout``
+    at ``last event in the bucket + state_horizon_ms``: once the
+    watermark passes it and the bucket stays silent, Spark calls the
+    state function with ``hasTimedOut`` and the bucket is dropped —
+    mirroring ``streaming_exact_dedup``'s recent-window semantics
+    (``dropDuplicatesWithinWatermark``), so total state is bounded by the
+    distinct buckets inside one horizon.  A single-batch availableNow
+    replay fires no timeouts, so the default driver/oracle path
+    (``ts_col=None``) and the timeout path emit identical labels on
+    bounded fixtures.
     """
     from ..operators.dedup import with_minhash_signature
 
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must divide into bands evenly")
     r = num_hashes // bands
+    ts_cols = []
+    if ts_col is not None:
+        ts_cols = [F.col(ts_col).cast("timestamp").alias("__ets")]
     src = stream.select(
         "conv_id",
         F.col("turn_idx").cast("int").alias("turn_idx"),
@@ -362,6 +393,7 @@ def streaming_neardup_dedup(
             F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string"))
         ).alias("key"),
         F.col(text_col),
+        *ts_cols,
     )
     sig = with_minhash_signature(
         src, text_col=text_col, out_col="__sig",
@@ -371,6 +403,7 @@ def streaming_neardup_dedup(
         "conv_id",
         "turn_idx",
         "key",
+        *(["__ets"] if ts_col is not None else []),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -390,12 +423,31 @@ def streaming_neardup_dedup(
         ).alias("__b"),
     ).select(
         "conv_id", "turn_idx", "key",
+        *(["__ets"] if ts_col is not None else []),
         F.col("__b.band").alias("band"), F.col("__b.bh").alias("bh"),
     )
-    return banded.groupBy("band", "bh").applyInPandasWithState(
-        _neardup_fn,
-        outputStructType=_NEARDUP_OUT,
-        stateStructType=_NEARDUP_STATE,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    if ts_col is None:
+        return banded.groupBy("band", "bh").applyInPandasWithState(
+            _neardup_fn,
+            outputStructType=_NEARDUP_OUT,
+            stateStructType=_NEARDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    horizon = int(state_horizon_ms)
+
+    def fn(key, pdf_iter, state):
+        yield from _neardup_fn(key, pdf_iter, state, horizon_ms=horizon)
+
+    return (
+        banded.withWatermark("__ets", watermark_delay)
+        .groupBy("band", "bh")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_NEARDUP_OUT,
+            stateStructType=_NEARDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -264,3 +264,86 @@ def test_streaming_neardup_matches_batch_min_wins(spark, tmp_path):
     # c1 and c4 share EVERY bucket (identical text), so whichever of them
     # is not the global winner must be flagged
     assert all(got[(c, 0)] for c in losers)
+
+
+def test_streaming_neardup_state_expiry(spark, tmp_path):
+    """Event-time timeout evicts silent buckets (VERDICT r4 item #7).
+
+    Four single-file micro-batches (maxFilesPerTrigger=1 + availableNow):
+    batch 1 plants text X; batches 2-3 are unrelated fillers whose event
+    times push the watermark far past X's horizon, so X's buckets time
+    out in batch 3 (no data for them that batch -> hasTimedOut -> state
+    removed); batch 4 replays X's exact text under a LARGER md5 key.
+    With expiry the replay lands in empty buckets and is NOT flagged;
+    the NoTimeout control on the same files flags it on every band —
+    proving the timeout (and nothing else) dropped the state."""
+    import datetime as dt
+    import hashlib
+    import os
+    import shutil
+
+    from data_caterer_spark.streaming.quality_stream import (
+        streaming_neardup_dedup,
+    )
+
+    # pick conv ids so the batch-4 replay has the LARGER key (the control
+    # run must flag it dup; min-key-wins would hide eviction otherwise)
+    ka, kb = (hashlib.md5(b"ca#0").hexdigest(),
+              hashlib.md5(b"cb#0").hexdigest())
+    first, replay = ("ca", "cb") if ka < kb else ("cb", "ca")
+
+    text_x = ("please summarize the quarterly revenue report for the "
+              "north region and flag anomalies")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    late = dt.datetime(2024, 1, 1, 10, 0, 0)
+    batches = [
+        [(first, 0, "user", text_x, None, t0)],
+        [("f2", 0, "user", "unrelated gardening schedule for spring "
+                           "watering and soil rotation", None, late)],
+        [("f3", 0, "user", "completely different text about winter bird "
+                           "migration patterns", None,
+          late + dt.timedelta(minutes=1))],
+        [(replay, 0, "user", text_x, None, late + dt.timedelta(minutes=2))],
+    ]
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp")
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dest = src_dir / f"batch{i:02d}.parquet"
+        shutil.copy(os.path.join(stage, part), dest)
+        # distinct ascending mtimes pin the file-source batch order
+        os.utime(dest, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    schema = spark.createDataFrame([], ddl).schema
+
+    def run(name, **kw):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+        out = streaming_neardup_dedup(stream, **kw)
+        return {
+            (r["conv_id"], r["turn_idx"]): r["is_dup"]
+            for r in _run_stream(spark, out, name,
+                                 str(tmp_path / f"cp_{name}"))
+            .groupBy("conv_id", "turn_idx")
+            .agg(F.max("dup").alias("is_dup"))
+            .collect()
+        }
+
+    # control: no timeout -> bucket state lives forever -> replay flagged
+    control = run("neardup_ctl")
+    assert control[(replay, 0)] is True
+    # expiry: 1-minute horizon, watermark passes it after the fillers
+    expired = run("neardup_exp", ts_col="ts", state_horizon_ms=60_000,
+                  watermark_delay="1 minute")
+    assert expired[(replay, 0)] is False
+    # everything else identical between the runs
+    assert {k: v for k, v in control.items() if k != (replay, 0)} == \
+           {k: v for k, v in expired.items() if k != (replay, 0)}
+    # first occurrence and fillers never flagged in either run
+    for got in (control, expired):
+        assert got[(first, 0)] is False
+        assert got[("f2", 0)] is False and got[("f3", 0)] is False
