@@ -204,3 +204,38 @@ def c4_decisions(df: DataFrame, text_col: str = "text") -> DataFrame:
             "clean_text": F.array_join(kept, "\n"),
         }
     )
+
+
+def robots_meta_directives(
+    df: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """Parse the page-level ``<meta name="robots">`` directive and derive
+    the crawl-compliance verdicts a corpus builder must honor (the
+    robots-exclusion protocol's HTML half; the HTTP half is the
+    ``X-Robots-Tag`` header carried by the fetcher): ``indexable`` —
+    page may enter the corpus; ``followable`` — its outlinks may seed
+    the frontier; ``archivable`` — a cached copy may be kept.
+
+    Only the ``<head>`` is scanned (a robots string quoted in body text
+    is content, not a directive); tag name and directive tokens are
+    case-insensitive per the protocol; ``none`` ≡ ``noindex, nofollow``.
+    Pure Catalyst regexp projections — a zero-shuffle scan stage at any
+    corpus size."""
+    head = F.regexp_extract(F.col(html_col), r"(?s)<head>(.*?)</head>", 1)
+    content = F.lower(
+        F.regexp_extract(
+            head,
+            r'(?is)<meta\s+name="robots"\s+content="([^"]*)"',
+            1,
+        )
+    )
+    has_tok = lambda t: content.rlike(rf"(^|[,\s]){t}([,\s]|$)")  # noqa: E731
+    none_tok = has_tok("none")
+    return df.withColumns(
+        {
+            "robots_content": content,
+            "indexable": ~(has_tok("noindex") | none_tok),
+            "followable": ~(has_tok("nofollow") | none_tok),
+            "archivable": ~(has_tok("noarchive") | none_tok),
+        }
+    )

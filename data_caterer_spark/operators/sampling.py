@@ -204,3 +204,29 @@ def mix_plan(
             planned.cast("double") / target.cast("double"), 6
         ).alias("fill_ratio"),
     )
+
+
+def bottom_k_sample(
+    df: DataFrame, cols: list[str], k: int, seed: int = 42
+) -> DataFrame:
+    """Exact-size uniform sample WITHOUT replacement: the k rows whose
+    key hash is smallest (a bottom-k sketch — the distributed,
+    deterministic equivalent of one-pass reservoir sampling).
+
+    Vitter's Algorithm R is inherently sequential (state = the running
+    reservoir); the bottom-k spelling commutes — each task carries only
+    its local k smallest (Spark plans the orderBy+limit as
+    TakeOrderedAndProject, never a global sort), merges are order-free,
+    and the result is identical on 1 core or 1000 executors, across
+    reruns and input re-partitioning.  ``fraction``-style hash sampling
+    (:func:`hash_sample`) gives a binomial size; bottom-k gives exactly
+    ``min(k, n)`` rows.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    return (
+        df.withColumn("__draw", hash_bucket(cols, seed))
+        .orderBy("__draw", *cols)
+        .limit(k)
+        .drop("__draw")
+    )

@@ -50,6 +50,7 @@ __all__ = [
     "epoch_us",
     "interval_bin_join",
     "latest_snapshot",
+    "scd2_build",
     "time_range_window",
 ]
 
@@ -249,4 +250,38 @@ def time_range_window(
         Window.partitionBy(*[F.col(c) for c in key_cols])
         .orderBy(epoch_us(ts_col))
         .rangeBetween(-int(preceding_s) * 1_000_000, 0)
+    )
+
+
+def scd2_build(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change log: every change
+    row becomes a version with ``[valid_from, valid_to)`` validity and an
+    ``is_current`` flag (the warehouse twin of ``latest_snapshot`` — keep
+    ALL versions instead of the last; reference analog: the validation
+    DSL checks static snapshots, SURVEY.md §2.5 extends to temporal).
+
+    ``valid_to`` is the NEXT version's ``valid_from`` (``lead`` over the
+    key), NULL (open) for the current version.  ONE shuffle on the key +
+    a per-key sort — the same exchange a downstream as-of join on the
+    dimension would need anyway, so at 10^12 rows the build is one pass
+    and the sort never crosses keys (no global ordering).  Ties in
+    ``ts_col`` are broken by the remaining ``order_cols`` so the version
+    chain is deterministic under at-least-once change capture.
+    """
+    keys = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        changelog.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumn(
+            "version", F.row_number().over(w).cast("int")
+        )
     )

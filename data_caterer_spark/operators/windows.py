@@ -324,3 +324,48 @@ def role_transition_counts(
         .groupBy("role_from", "role_to")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def tool_call_integrity_flags(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: "list[str] | None" = None,
+    role_col: str = "role",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-turn tool-call integrity flags — the cross-turn half of the
+    north-star "role/tool consistency" heuristic (the stateless half
+    lives in the pipeline rule bank).  Three protocol rules over the
+    ordered conversation:
+
+    * ``tool_missing_name``  — a ``tool`` turn with no tool name;
+    * ``tool_on_wrong_role`` — a non-tool turn carrying a tool name;
+    * ``tool_no_request``    — a ``tool`` turn whose PREVIOUS turn is
+      not an ``assistant`` turn (tool results must answer a call).
+
+    One conversation-keyed window — the same single exchange every
+    per-conversation operator in the pipeline shares, so at 10^12 turns
+    the integrity pass rides an exchange that already exists."""
+    order_cols = order_cols or ["turn_idx"]
+    w = Window.partitionBy(conv_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    # NULL roles (malformed turns) count as non-tool on every rule:
+    # three-valued logic would otherwise propagate NULL flags into the
+    # violation counts
+    is_tool = F.coalesce(F.col(role_col) == "tool", F.lit(False))
+    prev_role = F.lag(role_col).over(w)
+    return (
+        df.withColumn(
+            "tool_missing_name", is_tool & F.col(tool_col).isNull()
+        )
+        .withColumn(
+            "tool_on_wrong_role",
+            ~is_tool & F.col(tool_col).isNotNull(),
+        )
+        .withColumn(
+            "tool_no_request",
+            is_tool
+            & ~(prev_role.isNotNull() & (prev_role == "assistant")),
+        )
+    )

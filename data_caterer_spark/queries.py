@@ -5575,6 +5575,261 @@ def script_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# round 5: SCD2 dimension build, deterministic reservoir sampling,
+# agent-trace schema-on-read, cross-turn tool-call integrity
+# ===========================================================================
+
+
+@_q(
+    "scd2_dimension_build",
+    """
+    WITH v AS (
+        SELECT user_id, event_id, event_type,
+               round(value, 2) AS attr_value,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id))
+                   AS valid_to_us,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+                   AS version
+        FROM events
+    )
+    SELECT user_id, version, event_id, event_type, attr_value,
+           valid_from_us,
+           coalesce(valid_to_us, CAST(-1 AS BIGINT)) AS valid_to_us,
+           valid_to_us IS NULL AS is_current
+    FROM v
+    """,
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a changelog: every event is
+    an attribute update for its user; scd2_build (operators/temporal.py)
+    assigns ``[valid_from, valid_to)`` validity with ``lead`` over the
+    key — the keep-all-versions twin of cdc_latest_state.  ONE exchange
+    on the key, per-key sort only (no global ordering); validity bounds
+    cross the driver as epoch micros (-1 = open) so the hash is
+    format-free."""
+    from .operators.temporal import epoch_us, scd2_build
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("attr_value"),
+        "ts",
+    )
+    dim = scd2_build(
+        ev, key_cols=["user_id"], order_cols=["ts", "event_id"], ts_col="ts"
+    )
+    return dim.select(
+        "user_id",
+        "version",
+        "event_id",
+        "event_type",
+        "attr_value",
+        epoch_us("valid_from").alias("valid_from_us"),
+        F.coalesce(
+            epoch_us("valid_to"), F.lit(-1).cast("bigint")
+        ).alias("valid_to_us"),
+        "is_current",
+    )
+
+
+@_q(
+    "reservoir_sample_stats",
+    """
+    WITH drawn AS (
+        SELECT lang, n_chars
+        FROM documents
+        ORDER BY substr(md5(concat_ws(chr(31), '42',
+                     CAST(doc_id AS VARCHAR))), 1, 8), doc_id
+        LIMIT 100
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM drawn GROUP BY lang
+    """,
+)
+def reservoir_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sample via the bottom-k hash sketch
+    (operators/sampling.py bottom_k_sample) — the distributed,
+    rerun-stable equivalent of reservoir sampling: Vitter's Algorithm R
+    is sequential state, the k-smallest-hash spelling commutes across
+    partitions and plans as TakeOrderedAndProject (each task forwards
+    only its local k).  Stats over the drawn sample per language."""
+    docs = _read(spark, sf_dir, "documents")
+    sample = SAMP.bottom_k_sample(docs, ["doc_id"], k=100)
+    return sample.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_TRACE_LINE_SQL = """
+    '{"conv":"C' || CAST(user_id AS VARCHAR)
+    || '","step":' || CAST(event_id AS VARCHAR)
+    || ',"action":{"tool":"' || event_type
+    || '","latency_ms":' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+    || '},"ok":' || CAST(value > 10.0 AS VARCHAR)
+    || ',"props":' || props || '}'
+"""
+
+
+@_q(
+    "jsonl_agent_trace_parse",
+    f"""
+    WITH lines AS (SELECT {_TRACE_LINE_SQL} AS line FROM events),
+    parsed AS (
+        SELECT json_extract_string(line, '$.action.tool') AS tool,
+               CAST(json_extract(line, '$.action.latency_ms') AS BIGINT)
+                   AS latency_ms,
+               CAST(json_extract(line, '$.ok') AS BOOLEAN) AS ok,
+               CAST(json_extract(line, '$.props.k') AS BIGINT) AS k
+        FROM lines
+    )
+    SELECT tool,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           count(*) FILTER (WHERE ok) AS n_ok,
+           CAST(sum(latency_ms) AS BIGINT) AS sum_latency_ms,
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM parsed GROUP BY tool
+    """,
+)
+def jsonl_agent_trace_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL agent-trace ingest (schema-on-read): trace lines are built
+    byte-identically on both sides (concat, nested object, raw-JSON
+    embed of the ``props`` column), then Spark parses with ONE
+    ``from_json`` into a typed struct and aggregates — the exact ingest
+    shape of an agent-log lake where the lake holds strings and the
+    schema lives in the reader.  Zero-shuffle until the final combinable
+    groupBy; from_json stays in codegen (no Python)."""
+    ev = _read(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit('{"conv":"C'),
+        F.col("user_id").cast("string"),
+        F.lit('","step":'),
+        F.col("event_id").cast("string"),
+        F.lit(',"action":{"tool":"'),
+        F.col("event_type"),
+        F.lit('","latency_ms":'),
+        F.round(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit('},"ok":'),
+        (F.col("value") > 10.0).cast("string"),
+        F.lit(',"props":'),
+        F.col("props"),
+        F.lit("}"),
+    )
+    schema = (
+        "conv string, step bigint, "
+        "action struct<tool:string, latency_ms:bigint>, "
+        "ok boolean, props struct<k:bigint>"
+    )
+    parsed = ev.select(
+        F.from_json(line, schema).alias("t")
+    ).select(
+        F.col("t.action.tool").alias("tool"),
+        F.col("t.action.latency_ms").alias("latency_ms"),
+        F.col("t.ok").alias("ok"),
+        F.col("t.props.k").alias("k"),
+    )
+    return parsed.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.count_if("ok").alias("n_ok"),
+        F.sum("latency_ms").alias("sum_latency_ms"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+_ROLE_SQL = """
+    CASE event_type WHEN 'click' THEN 'user' WHEN 'signup' THEN 'user'
+         WHEN 'view' THEN 'assistant' WHEN 'purchase' THEN 'assistant'
+         WHEN 'error' THEN 'tool' END
+"""
+
+_TOOL_SQL = """
+    CASE WHEN event_type = 'error' THEN
+              CASE WHEN value >= 8.0 THEN 'search'
+                   WHEN value >= 4.0 THEN 'code' END
+         WHEN event_type = 'purchase' AND value > 45.0 THEN 'browser'
+    END
+"""
+
+
+@_q(
+    "tool_call_integrity",
+    f"""
+    WITH turns AS (
+        SELECT user_id, {_ROLE_SQL} AS role, {_TOOL_SQL} AS tool,
+               ts, event_id
+        FROM events
+    ), flagged AS (
+        SELECT role, tool,
+               lag(role) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_role
+        FROM turns
+    )
+    SELECT role,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           count(*) FILTER (WHERE role = 'tool' AND tool IS NULL)
+               AS n_missing_name,
+           count(*) FILTER (WHERE role <> 'tool' AND tool IS NOT NULL)
+               AS n_wrong_role,
+           count(*) FILTER (WHERE role = 'tool' AND
+                  (prev_role IS NULL OR prev_role <> 'assistant'))
+               AS n_no_request
+    FROM flagged GROUP BY role
+    """,
+)
+def tool_call_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-turn tool-call protocol integrity (the north-star
+    "role/tool consistency" heuristic's ordered half): tool turns must
+    carry a tool name, non-tool turns must not, and every tool result
+    must directly answer an assistant call — flagged per turn by
+    tool_call_integrity_flags (operators/windows.py) over ONE
+    conversation-keyed window, then a combinable per-role rollup.  The
+    conversation frame is derived deterministically from the events
+    table so the oracle is plain SQL over a shared view."""
+    from .operators.windows import tool_call_integrity_flags
+
+    ev = _read(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("event_type").isin("click", "signup"), "user")
+        .when(F.col("event_type").isin("view", "purchase"), "assistant")
+        .when(F.col("event_type") == "error", "tool")
+    )
+    tool = F.when(
+        F.col("event_type") == "error",
+        F.when(F.col("value") >= 8.0, "search").when(
+            F.col("value") >= 4.0, "code"
+        ),
+    ).when(
+        (F.col("event_type") == "purchase") & (F.col("value") > 45.0),
+        "browser",
+    )
+    turns = ev.select(
+        F.col("user_id"),
+        role.alias("role"),
+        tool.alias("tool"),
+        "ts",
+        "event_id",
+    )
+    flagged = tool_call_integrity_flags(
+        turns,
+        conv_col="user_id",
+        order_cols=["ts", "event_id"],
+    )
+    return flagged.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count_if("tool_missing_name").alias("n_missing_name"),
+        F.count_if("tool_on_wrong_role").alias("n_wrong_role"),
+        F.count_if("tool_no_request").alias("n_no_request"),
+    )
+
+
 _DRIVER_PRIORITY = [
     # ---- round-5 cap (50): the 8 queries never in ANY driver artifact
     # (union r1-r4) run FIRST — VERDICT r4 next-steps item #3

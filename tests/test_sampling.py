@@ -175,3 +175,31 @@ def test_contamination_overlap_counts_match_python(spark):
             continue
         n = len(_py_word_shingles(r["text"], 3) & eval_sh)
         assert got.get(r["doc_id"], 0) == n
+
+
+def test_bottom_k_sample_exact_size_and_stability(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = S.bottom_k_sample(docs, ["doc_id"], k=37)
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    assert len(ids_a) == 37
+    # rerun + repartition invariance (the reservoir-equivalence claim)
+    b = S.bottom_k_sample(docs.repartition(7), ["doc_id"], k=37)
+    ids_b = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b
+    # k >= n degenerates to the identity sample
+    n = docs.count()
+    assert S.bottom_k_sample(docs, ["doc_id"], k=n + 10).count() == n
+
+
+def test_bottom_k_sample_subset_nesting(spark):
+    # bottom-k sketches nest: the 10-sample is a prefix of the 30-sample
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    small = {
+        r["doc_id"]
+        for r in S.bottom_k_sample(docs, ["doc_id"], 10).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in S.bottom_k_sample(docs, ["doc_id"], 30).collect()
+    }
+    assert small < big

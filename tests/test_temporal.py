@@ -265,3 +265,43 @@ def test_asof_join_column_clash_raises(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, ["k"], "ts", ["v"])
+
+
+# --------------------------------------------------------------------------
+# scd2_build
+# --------------------------------------------------------------------------
+
+
+def test_scd2_versions_chain(spark):
+    from data_caterer_spark.operators.temporal import scd2_build
+
+    log = spark.createDataFrame(
+        [
+            (1, _ts(1), "a"),
+            (1, _ts(5), "b"),
+            (1, _ts(9), "c"),
+            (2, _ts(3), "x"),
+        ],
+        "k long, ts timestamp, v string",
+    )
+    out = scd2_build(log, ["k"], ["ts"], "ts")
+    rows = {(r.k, r.version): r for r in out.collect()}
+    assert rows[(1, 1)].v == "a" and rows[(1, 1)].valid_to == _ts(5)
+    assert rows[(1, 2)].valid_from == _ts(5)
+    assert rows[(1, 2)].valid_to == _ts(9)
+    assert rows[(1, 3)].is_current and rows[(1, 3)].valid_to is None
+    assert rows[(2, 1)].is_current
+    # exactly one current version per key, intervals abut exactly
+    assert sum(1 for r in rows.values() if r.k == 1 and r.is_current) == 1
+
+
+def test_scd2_tiebreak_deterministic(spark):
+    from data_caterer_spark.operators.temporal import scd2_build
+
+    log = spark.createDataFrame(
+        [(1, _ts(1), 2, "late"), (1, _ts(1), 1, "early")],
+        "k long, ts timestamp, seq long, v string",
+    )
+    out = scd2_build(log, ["k"], ["ts", "seq"], "ts").collect()
+    by_ver = {r.version: r.v for r in out}
+    assert by_ver == {1: "early", 2: "late"}

@@ -250,3 +250,41 @@ def test_sliding_chunks_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_tool_call_integrity_flags(spark):
+    from data_caterer_spark.operators.windows import (
+        tool_call_integrity_flags,
+    )
+
+    rows = [
+        # well-formed: user -> assistant -> tool(search)
+        ("c1", 0, "user", None),
+        ("c1", 1, "assistant", None),
+        ("c1", 2, "tool", "search"),
+        # tool with no preceding assistant call AND no name
+        ("c2", 0, "tool", None),
+        # user turn carrying a tool name
+        ("c2", 1, "user", "code"),
+        # NULL role carrying a tool name counts as wrong-role
+        ("c2", 2, None, "browser"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string"
+    )
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in tool_call_integrity_flags(df).collect()
+    }
+    ok = out[("c1", 2)]
+    assert not (ok.tool_missing_name or ok.tool_on_wrong_role
+                or ok.tool_no_request)
+    bad = out[("c2", 0)]
+    assert bad.tool_missing_name and bad.tool_no_request
+    assert out[("c2", 1)].tool_on_wrong_role
+    assert out[("c2", 2)].tool_on_wrong_role
+    # flags are never NULL (three-valued logic guarded)
+    for r in out.values():
+        assert r.tool_missing_name is not None
+        assert r.tool_on_wrong_role is not None
+        assert r.tool_no_request is not None
