@@ -5830,6 +5830,188 @@ def tool_call_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_META_SQL = """
+    CASE doc_id % 5
+      WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
+      WHEN 1 THEN '<meta name="robots" content="noindex">'
+      WHEN 2 THEN '<meta name="robots" content="nofollow, noarchive">'
+      WHEN 3 THEN '<meta name="ROBOTS" content="ALL">'
+      ELSE ''
+    END
+"""
+
+
+@_q(
+    "robots_meta_compliance",
+    f"""
+    WITH built AS (
+        SELECT doc_id,
+               '<html><head><title>T</title>' || {_META_SQL}
+               || '</head><body><p>robots noindex mentioned in prose</p>'
+               || '</body></html>' AS html
+        FROM documents
+    ), parsed AS (
+        SELECT doc_id,
+               lower(regexp_extract(
+                   regexp_extract(html, '(?s)<head>(.*?)</head>', 1),
+                   '(?is)<meta\\s+name="robots"\\s+content="([^"]*)"', 1))
+                   AS robots_content
+        FROM built
+    ), flags AS (
+        SELECT doc_id, robots_content,
+               NOT (regexp_matches(robots_content,
+                        '(^|[,\\s])noindex([,\\s]|$)')
+                    OR regexp_matches(robots_content,
+                        '(^|[,\\s])none([,\\s]|$)')) AS indexable,
+               NOT (regexp_matches(robots_content,
+                        '(^|[,\\s])nofollow([,\\s]|$)')
+                    OR regexp_matches(robots_content,
+                        '(^|[,\\s])none([,\\s]|$)')) AS followable,
+               NOT (regexp_matches(robots_content,
+                        '(^|[,\\s])noarchive([,\\s]|$)')
+                    OR regexp_matches(robots_content,
+                        '(^|[,\\s])none([,\\s]|$)')) AS archivable
+        FROM parsed
+    )
+    SELECT robots_content,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           count(*) FILTER (WHERE indexable) AS n_indexable,
+           count(*) FILTER (WHERE followable) AS n_followable,
+           count(*) FILTER (WHERE archivable) AS n_archivable
+    FROM flags GROUP BY robots_content
+    """,
+)
+def robots_meta_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-exclusion compliance over crawled pages:
+    robots_meta_directives (functions/webfilters.py) parses the
+    page-level ``<meta name="robots">`` (head-scoped — a directive
+    quoted in body prose is content, not policy; tag + tokens
+    case-insensitive; ``none`` ≡ noindex+nofollow) and derives the three
+    verdicts a corpus builder must honor before a page may enter the
+    index / seed the frontier / be cached.  Pure Catalyst regexp scan +
+    one combinable rollup."""
+    from .functions.webfilters import robots_meta_directives
+
+    docs = _read(spark, sf_dir, "documents")
+    meta = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            '<meta name="robots" content="noindex, nofollow">',
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            '<meta name="robots" content="noindex">',
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            '<meta name="robots" content="nofollow, noarchive">',
+        )
+        .when(F.col("doc_id") % 5 == 3, '<meta name="ROBOTS" content="ALL">')
+        .otherwise("")
+    )
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>T</title>"),
+            meta,
+            F.lit(
+                "</head><body><p>robots noindex mentioned in prose</p>"
+                "</body></html>"
+            ),
+        ).alias("html"),
+    )
+    flags = robots_meta_directives(built)
+    return flags.groupBy("robots_content").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if("indexable").alias("n_indexable"),
+        F.count_if("followable").alias("n_followable"),
+        F.count_if("archivable").alias("n_archivable"),
+    )
+
+
+@_q(
+    "dom_boilerplate_ratio",
+    """
+    WITH built AS (
+        SELECT doc_id,
+               '<nav>' || repeat('Home About Contact ', doc_id % 7 + 1)
+               || '</nav><article>' || coalesce(text, '')
+               || '</article><footer>'
+               || repeat('Copyright Legal Privacy ', doc_id % 3 + 1)
+               || '</footer>' AS html
+        FROM documents
+    ), lens AS (
+        SELECT doc_id,
+               len(regexp_extract(html, '(?s)<nav>(.*?)</nav>', 1))
+               + len(regexp_extract(html, '(?s)<footer>(.*?)</footer>', 1))
+                   AS boiler_chars,
+               len(regexp_extract(html, '(?s)<article>(.*?)</article>', 1))
+                   AS content_chars
+        FROM built
+    )
+    SELECT CAST(boiler_chars * 10 // (boiler_chars + content_chars) AS INT)
+               AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(boiler_chars) AS BIGINT) AS sum_boiler,
+           CAST(sum(content_chars) AS BIGINT) AS sum_content
+    FROM lens
+    WHERE boiler_chars + content_chars > 0
+    GROUP BY decile
+    """,
+)
+def dom_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-density profile (the readability/jusText signal that
+    feeds main-content extraction): chars inside chrome containers
+    (nav/footer) vs the article body, bucketed into integer-exact
+    deciles (``(b*10) div total`` — no float boundary wobble).
+    Zero-shuffle Catalyst regexp scan + one combinable rollup; at crawl
+    scale this is the pre-extraction quality gate that drops
+    chrome-dominated pages before the heavy extractor runs."""
+    docs = _read(spark, sf_dir, "documents")
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<nav>"),
+            F.repeat(F.lit("Home About Contact "), F.col("doc_id") % 7 + 1),
+            F.lit("</nav><article>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</article><footer>"),
+            F.repeat(
+                F.lit("Copyright Legal Privacy "), F.col("doc_id") % 3 + 1
+            ),
+            F.lit("</footer>"),
+        ).alias("html"),
+    )
+    lens = built.select(
+        "doc_id",
+        (
+            F.length(F.regexp_extract("html", r"(?s)<nav>(.*?)</nav>", 1))
+            + F.length(
+                F.regexp_extract("html", r"(?s)<footer>(.*?)</footer>", 1)
+            )
+        ).alias("boiler_chars"),
+        F.length(
+            F.regexp_extract("html", r"(?s)<article>(.*?)</article>", 1)
+        ).alias("content_chars"),
+    )
+    total = F.col("boiler_chars") + F.col("content_chars")
+    return (
+        lens.where(total > 0)
+        .select(
+            F.expr("CAST(boiler_chars * 10 div "
+                   "(boiler_chars + content_chars) AS INT)").alias("decile"),
+            "boiler_chars",
+            "content_chars",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("boiler_chars").cast("bigint").alias("sum_boiler"),
+            F.sum("content_chars").cast("bigint").alias("sum_content"),
+        )
+    )
+
+
 _DRIVER_PRIORITY = [
     # ---- round-5 cap (50): the 8 queries never in ANY driver artifact
     # (union r1-r4) run FIRST — VERDICT r4 next-steps item #3

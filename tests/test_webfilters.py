@@ -142,3 +142,35 @@ def test_gopher_symbol_ratios_tested_separately(spark):
     df2 = spark.createDataFrame([(1, text2)], "doc_id long, text string")
     r2 = gopher_flags(df2, min_words=10, max_words=100000).collect()[0]
     assert not r2.symbol_ratio_ok
+
+
+def test_robots_meta_directives(spark):
+    from data_caterer_spark.functions.webfilters import (
+        robots_meta_directives,
+    )
+
+    pages = [
+        (1, '<html><head><meta name="robots" content="noindex, nofollow">'
+            "</head><body>x</body></html>"),
+        (2, '<html><head><meta name="ROBOTS" content="NONE"></head>'
+            "<body>x</body></html>"),
+        (3, '<html><head><meta name="robots" content="noarchive"></head>'
+            "<body>x</body></html>"),
+        (4, "<html><head></head><body>"
+            '<meta name="robots" content="noindex"> quoted in body'
+            "</body></html>"),
+        (5, '<html><head><meta name="robots" content="noindexing-tips">'
+            "</head><body>x</body></html>"),  # token, not substring
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    out = {r.doc_id: r for r in robots_meta_directives(df).collect()}
+    assert not out[1].indexable and not out[1].followable
+    assert out[1].archivable
+    # none == noindex + nofollow (+ noarchive), case-insensitive
+    assert not out[2].indexable and not out[2].followable
+    assert not out[2].archivable
+    assert out[3].indexable and out[3].followable and not out[3].archivable
+    # body-quoted directive is content, not policy
+    assert out[4].indexable and out[4].followable
+    # directive matching is token-wise, not substring
+    assert out[5].indexable
