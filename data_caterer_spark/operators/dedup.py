@@ -161,28 +161,31 @@ def incremental_ingest_decisions(
 # --------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_stats(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    threshold: float = 0.5,
-    max_block: int | None = 1000,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_block: int | None,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
+    """Shared candidate machinery for the set-overlap near-dup family:
+    returns every blocked pair ``(id_a < id_b)`` with its EXACT shingle
+    intersection and both set sizes — the sufficient statistics for any
+    overlap metric (Jaccard, containment, overlap coefficient).
 
-    Plan: explode distinct shingles -> self equi-join on shingle (blocking)
-    -> count shared shingles per pair -> join per-doc set sizes -> Jaccard.
+    Plan: explode distinct shingles -> self equi-join on shingle
+    (blocking) -> count shared shingles per pair -> join per-doc sizes.
 
     ``max_block`` (the web-scale guard): shingles whose posting list
     exceeds the cap are dropped from CANDIDATE BLOCKING only — a stopword
     shingle would otherwise create a quadratic join block.  Every
-    discovered candidate pair is then re-verified against the FULL posting
-    lists, so the reported Jaccard is always the TRUE Jaccard (no
-    underestimation from the dropped shingles, no false positives).  The
-    cap is a recall-only approximation: the only possible misses are pairs
-    whose EVERY shared shingle occurs in > max_block documents — on clean
-    corpora such pairs are far below any useful threshold.
+    discovered candidate pair is then re-verified against the FULL
+    posting lists, so the reported intersection is always the TRUE
+    intersection (no underestimation from the dropped shingles, no false
+    positives).  The cap is a recall-only approximation: the only
+    possible misses are pairs whose EVERY shared shingle occurs in
+    > max_block documents — on clean corpora such pairs are far below
+    any useful threshold.
     """
     sh = (
         df.select(
@@ -222,7 +225,7 @@ def ngram_jaccard_pairs(
         )
 
     if max_block is None:
-        pairs = exact_pairs(posts)
+        return exact_pairs(posts)
     else:
         # postings feed four branches (frequency, blocking, two
         # verification sides): persist AND populate eagerly — branches
@@ -240,17 +243,7 @@ def ngram_jaccard_pairs(
             len(freq.where(F.col("__df") > max_block).limit(1).take(1)) > 0
         )
         if not has_hot:
-            pairs = exact_pairs(posts)
-            jac = F.col("__inter") / (
-                F.col("size_a") + F.col("size_b") - F.col("__inter")
-            )
-            return (
-                pairs.withColumn("jaccard", jac)
-                .where(F.col("jaccard") >= threshold)
-                .select(
-                    "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-                )
-            )
+            return exact_pairs(posts)
         rare = posts.join(
             freq.where(F.col("__df") <= max_block), "sh"
         ).select("id", "sh")
@@ -273,13 +266,27 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("__inter"))
         )
         sizes = sh.select("id", "__set_size")
-        pairs = inter.join(
+        return inter.join(
             sizes.select(F.col("id").alias("id_a"), F.col("__set_size").alias("size_a")),
             "id_a",
         ).join(
             sizes.select(F.col("id").alias("id_b"), F.col("__set_size").alias("size_b")),
             "id_b",
         )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_block: int | None = 1000,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard >= threshold —
+    the symmetric near-dup metric (see :func:`_shingle_pair_stats` for
+    the blocking plan and the ``max_block`` web-scale guard)."""
+    pairs = _shingle_pair_stats(df, id_col, text_col, k, max_block)
     jac = F.col("__inter") / (
         F.col("size_a") + F.col("size_b") - F.col("__inter")
     )
@@ -287,6 +294,121 @@ def ngram_jaccard_pairs(
         pairs.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_block: int | None = 1000,
+) -> DataFrame:
+    """All pairs where either document's shingle set is >= ``threshold``
+    CONTAINED in the other: ``C(A→B) = |A∩B| / |A|``.
+
+    Containment is the asymmetric complement to Jaccard — the
+    quote/excerpt/boilerplate-wrapper case: a short document fully
+    embedded in a long one has near-1 containment but arbitrarily low
+    Jaccard, so a Jaccard-only dedup pass keeps both copies.  (Broder's
+    original resemblance/containment pair, 1997.)  Same blocked +
+    cap-re-verified plan as :func:`ngram_jaccard_pairs` via
+    :func:`_shingle_pair_stats`; emits both directions so the caller
+    picks survivor policy (keep the superset, usually)."""
+    pairs = _shingle_pair_stats(df, id_col, text_col, k, max_block)
+    c_ab = F.col("__inter") / F.col("size_a")
+    c_ba = F.col("__inter") / F.col("size_b")
+    return (
+        pairs.withColumn("containment_a_in_b", c_ab)
+        .withColumn("containment_b_in_a", c_ba)
+        .where(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round("containment_a_in_b", 6).alias("containment_a_in_b"),
+            F.round("containment_b_in_a", 6).alias("containment_b_in_a"),
+        )
+    )
+
+
+def edit_distance_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 10,
+    prefix_chars: int = 120,
+    block_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """All pairs within ``max_distance`` Levenshtein edits on the
+    normalized ``prefix_chars``-char prefix — the character-level
+    near-dup metric (catches typo-level variants n-gram Jaccard blurs
+    over).
+
+    Scale plan: edit distance is bounded below by the LENGTH difference,
+    so blocking on ``len div max_distance`` is lossless — any qualifying
+    pair lands in the same or adjacent bucket (each left row probes both,
+    each pair joins once after canonicalization).  ``block_cols`` adds
+    exact-match keys (language, domain, an LSH band) to shrink blocks
+    further at corpus scale.  The refilter uses Spark's thresholded
+    ``levenshtein(a, b, d)`` — O(d·n) banded DP, not O(n²) — and the
+    candidate set is deduplicated BEFORE the DP runs.  ``prefix_chars``
+    bounds per-pair cost; a full-text verify pass (same thresholded
+    call, larger cap) composes downstream when exact distances on long
+    documents are required."""
+    if max_distance <= 0:
+        raise ValueError(f"max_distance must be positive, got {max_distance}")
+    blocks = list(block_cols)
+    norm = F.substring(normalized_text(text_col), 1, prefix_chars)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in blocks],
+        norm.alias("__t"),
+    ).withColumn("__len", F.length("__t"))
+    w = max_distance  # bucket width >= d => qualifying pairs are <=1 apart
+    a = base.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"__ba_{c}") for c in blocks],
+        F.col("__t").alias("__ta"),
+        F.col("__len").alias("__la"),
+        F.explode(
+            F.array(
+                F.expr(f"__len div {w}"), F.expr(f"__len div {w} + 1")
+            )
+        ).alias("__bucket"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"__bb_{c}") for c in blocks],
+        F.col("__t").alias("__tb"),
+        F.col("__len").alias("__lb"),
+        F.expr(f"__len div {w}").alias("__bucket"),
+    )
+    on = [a["__bucket"] == b["__bucket"]]
+    on += [a[f"__ba_{c}"] == b[f"__bb_{c}"] for c in blocks]
+    cand = (
+        a.join(b, on)
+        .where(F.col("id_a") != F.col("id_b"))
+        # canonical orientation, then dedup BEFORE the DP refilter (a
+        # same-bucket pair is discovered from both sides)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.when(a["id_a"] < b["id_b"], a["__ta"]).otherwise(b["__tb"]).alias("__ta"),
+            F.when(a["id_a"] < b["id_b"], b["__tb"]).otherwise(a["__ta"]).alias("__tb"),
+            F.abs(F.col("__la") - F.col("__lb")).alias("__ldiff"),
+        )
+        .where(F.col("__ldiff") <= max_distance)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.levenshtein("__ta", "__tb", max_distance)
+    return (
+        cand.withColumn("distance", dist)
+        .where(F.col("distance") >= 0)
+        .select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
     )
 
 

@@ -6012,6 +6012,70 @@ def dom_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "shingle_containment_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    posts AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle
+              FROM sh WHERE len(s) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(count(*) / CAST(any_value(a.sz) AS DOUBLE), 6)
+               AS containment_a_in_b,
+           round(count(*) / CAST(any_value(b.sz) AS DOUBLE), 6)
+               AS containment_b_in_a
+    FROM posts a JOIN posts b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING round(count(*) / CAST(any_value(a.sz) AS DOUBLE), 6) >= 0.9
+        OR round(count(*) / CAST(any_value(b.sz) AS DOUBLE), 6) >= 0.9
+    """,
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (Broder's resemblance/containment
+    pair): a short document quoted inside a long one has near-1
+    containment but arbitrarily low Jaccard, so the Jaccard-only pass
+    keeps both copies.  Same capped-blocking + exact-reverify plan as
+    ngram_jaccard_dups (operators/dedup.py _shingle_pair_stats); oracle
+    is the uncapped all-pairs SQL."""
+    df = _fan_out(_read(spark, sf_dir, "documents"))
+    return D.shingle_containment_pairs(
+        df, k=3, threshold=0.9, max_block=1000
+    )
+
+
+@_q(
+    "edit_distance_neardups",
+    f"""
+    WITH norm AS (
+        SELECT doc_id, lang, substr({_NORM_SQL}, 1, 120) AS t
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS INT) AS distance
+    FROM norm a JOIN norm b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(len(a.t) - len(b.t)) <= 15
+    WHERE levenshtein(a.t, b.t) <= 15
+    """,
+)
+def edit_distance_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dups within 15 edits on the normalized
+    120-char prefix, language-blocked: edit distance is bounded below by
+    the length difference, so ``len div d`` bucketing is a LOSSLESS
+    blocker (each left row probes its own and the next bucket); the
+    refilter is Spark's thresholded ``levenshtein(a, b, d)`` — banded
+    O(d·n) DP — after candidate dedup (operators/dedup.py
+    edit_distance_neardup_pairs).  Oracle = the naive quadratic join
+    DuckDB can afford at sf0.01."""
+    df = _fan_out(_read(spark, sf_dir, "documents"))
+    return D.edit_distance_neardup_pairs(
+        df,
+        max_distance=15,
+        prefix_chars=120,
+        block_cols=("lang",),
+    )
+
+
 _DRIVER_PRIORITY = [
     # ---- round-5 cap (50): the 8 queries never in ANY driver artifact
     # (union r1-r4) run FIRST — VERDICT r4 next-steps item #3

@@ -394,3 +394,119 @@ def test_exact_substring_dedup_plan_has_no_pair_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shingle_containment_asymmetric(spark):
+    short = "alpha beta gamma delta epsilon"
+    long = short + " zeta eta theta " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in D.shingle_containment_pairs(df, threshold=0.9).collect()
+    }
+    assert list(out) == [(1, 2)]
+    pair = out[(1, 2)]
+    # every shingle of the short doc appears in the long one...
+    assert pair.containment_a_in_b == 1.0
+    # ...but the long doc is NOT contained in the short one (and the
+    # pair's Jaccard is far below any dedup threshold)
+    assert pair.containment_b_in_a < 0.5
+
+
+def test_shingle_containment_cap_matches_uncapped(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    capped = {
+        (r.id_a, r.id_b): (r.containment_a_in_b, r.containment_b_in_a)
+        for r in D.shingle_containment_pairs(
+            docs, threshold=0.8, max_block=5
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): (r.containment_a_in_b, r.containment_b_in_a)
+        for r in D.shingle_containment_pairs(
+            docs, threshold=0.8, max_block=None
+        ).collect()
+    }
+    assert capped == exact
+
+
+def test_edit_distance_neardups_vs_python(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumped over the lazy dog"),  # 2 edits
+        (3, "the quick brown fox jumps over the lazy cat"),   # 3 edits
+        (4, "a completely different sentence about parquet files"),
+        (5, None),
+        (6, "   "),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.distance
+        for r in D.edit_distance_neardup_pairs(df, max_distance=5).collect()
+    }
+    # python reference on the same normalization
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    norm = {
+        i: " ".join(t.lower().split())[:120]
+        for i, t in rows
+        if t is not None
+    }
+    want = {
+        (a, b): lev(norm[a], norm[b])
+        for a, b in itertools.combinations(sorted(norm), 2)
+        if lev(norm[a], norm[b]) <= 5
+    }
+    assert out == want
+    assert (1, 2) in out and out[(1, 2)] == 2
+
+
+def test_edit_distance_blocking_is_lossless_on_fixture(spark):
+    # the bucketed plan finds exactly the pairs the unblocked scan finds
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in D.edit_distance_neardup_pairs(
+            docs, max_distance=12, prefix_chars=80
+        ).collect()
+    }
+    texts = {
+        r.doc_id: " ".join((r.text or "").lower().split())[:80]
+        for r in docs.collect()
+        if r.text is not None
+    }
+    from pyspark.sql import Row
+
+    naive = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()]
+    )
+    a = naive.selectExpr("doc_id id_a", "text ta")
+    b = naive.selectExpr("doc_id id_b", "text tb")
+    from pyspark.sql import functions as FF
+
+    want = {
+        (r.id_a, r.id_b): r.d
+        for r in a.join(b, FF.col("id_a") < FF.col("id_b"))
+        .select(
+            "id_a", "id_b", FF.levenshtein("ta", "tb", 12).alias("d")
+        )
+        .where(FF.col("d") >= 0)
+        .collect()
+    }
+    assert got == want
