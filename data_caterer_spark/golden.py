@@ -1602,3 +1602,37 @@ def tokenizer_fertility_golden_sql(
     return _values_sql(
         rows, "lang, n_docs, n_tokens, n_bytes, bytes_per_token"
     )
+
+
+def rate_limited_sink_golden_sql(
+    n_convs: int = 80, seed: int = 42, cap: int = 120, n_groups: int = 4
+) -> str:
+    """Sequential replay of the rate-limited sink: per group (= one
+    micro-batch under maxFilesPerTrigger=1 over a group-partitioned
+    source), admit the ``cap`` lowest (conv_id, turn_idx) rows, defer
+    the rest.  sum_turn_written pins WHICH rows were admitted, not just
+    how many."""
+    from collections import defaultdict
+
+    from .fixtures import generate_transcripts
+    from .hashing import spark_xxhash64_str
+
+    groups: dict[int, list[tuple[str, int]]] = defaultdict(list)
+    for r in generate_transcripts(n_convs, seed):
+        grp = spark_xxhash64_str(r["conv_id"]) % n_groups
+        groups[grp].append((r["conv_id"], r["turn_idx"]))
+    vals = []
+    for grp in sorted(groups):
+        rows = sorted(groups[grp])
+        written = rows[:cap]
+        vals.append(
+            f"({grp}, CAST({len(written)} AS BIGINT), "
+            f"CAST({len(rows) - len(written)} AS BIGINT), "
+            f"CAST({sum(t for _, t in written)} AS BIGINT))"
+        )
+    return (
+        "SELECT CAST(grp AS INTEGER) AS grp, n_written, n_deferred, "
+        "sum_turn_written FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS g(grp, n_written, n_deferred, sum_turn_written)"
+    )

@@ -6076,6 +6076,137 @@ def edit_distance_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "iceberg_snapshot_reads",
+    """
+    SELECT 1 AS snapshot_id, 'append' AS operation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 2, 'append', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 3, 'overwrite', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 2
+    """,
+)
+def iceberg_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel (the Iceberg read semantics the
+    north_rule's table layer requires, via sources/snapshots.py — the
+    jar-free twin of sources/iceberg.py): two append commits then an
+    overwrite commit, each snapshot read back AS OF its id.  Snapshot 2
+    still sees both appends after the overwrite flipped the current file
+    set; metadata is O(#files) and the reader scans exactly the
+    snapshot's file list (dead files invisible to planning).  Oracle =
+    the three file-set definitions recomputed from the source table."""
+    import tempfile
+
+    from .sources.snapshots import SnapshotTable
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="dcs_snap_"))
+    t.append(orders.where(F.col("o_orderkey") % 3 == 0))
+    t.append(orders.where(F.col("o_orderkey") % 3 == 1))
+    t.overwrite(orders.where(F.col("o_orderkey") % 3 == 2))
+    parts = []
+    for sid, op in [(1, "append"), (2, "append"), (3, "overwrite")]:
+        parts.append(
+            t.read(sid)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(
+                F.lit(sid).alias("snapshot_id"),
+                F.lit(op).alias("operation"),
+                "n_rows",
+                "sum_cents",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _rate_limited_sink_oracle() -> str:
+    from .golden import rate_limited_sink_golden_sql
+
+    return rate_limited_sink_golden_sql(n_convs=80, cap=120, n_groups=4)
+
+
+@_q("streaming_rate_limited_sink", _rate_limited_sink_oracle)
+def streaming_rate_limited_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sink-side rate limiting (streaming/quality_stream.py
+    rate_limited_sink): the fixture is written group-partitioned
+    (pmod(xxhash64(conv_id), 4), one file per group) and streamed back
+    with maxFilesPerTrigger=1 so each micro-batch is exactly one group;
+    the foreachBatch sink admits the 120 lowest-(conv_id, turn_idx)
+    rows per batch and spills the overflow to a durable deferred
+    output — explicit, auditable backpressure for a quota-bound
+    downstream.  Output: per-group admitted/deferred tallies plus a
+    which-rows checksum; oracle = the pure-Python sequential replay
+    (bit-exact xxhash64 twin in hashing.py)."""
+    import tempfile
+
+    from .fixtures import generate_transcripts_df
+    from .streaming.quality_stream import rate_limited_sink
+
+    base = tempfile.mkdtemp(prefix="dcs_ratelim_")
+    inp, out = f"{base}/in", f"{base}/out"
+    fixture = generate_transcripts_df(spark, n_convs=80).withColumn(
+        "grp", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+    )
+    fixture.repartition("grp").write.partitionBy("grp").parquet(inp)
+    schema = spark.read.parquet(inp).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = (
+        rate_limited_sink(
+            stream.select("conv_id", "turn_idx", "grp"),
+            out,
+            cap=120,
+            checkpoint=f"{base}/cp",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("rate-limited sink did not finish in 300 s")
+    cols = "conv_id string, turn_idx int, grp int"
+    written = spark.read.schema(cols).parquet(f"{out}/written")
+    deferred = spark.read.schema(cols).parquet(f"{out}/deferred")
+    w = written.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_written"),
+        F.sum("turn_idx").alias("sum_turn_written"),
+    )
+    d = deferred.groupBy("grp").agg(F.count(F.lit(1)).alias("n_deferred"))
+    return (
+        w.join(d, "grp", "left")
+        .select(
+            "grp",
+            "n_written",
+            F.coalesce("n_deferred", F.lit(0).cast("bigint")).alias(
+                "n_deferred"
+            ),
+            "sum_turn_written",
+        )
+    )
+
+
 _DRIVER_PRIORITY = [
     # ---- round-5 cap (50): the 8 queries never in ANY driver artifact
     # (union r1-r4) run FIRST — VERDICT r4 next-steps item #3

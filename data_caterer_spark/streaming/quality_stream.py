@@ -451,3 +451,44 @@ def streaming_neardup_dedup(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def rate_limited_sink(
+    stream: DataFrame,
+    out_dir: str,
+    cap: int,
+    key_cols: "tuple[str, ...]" = ("conv_id", "turn_idx"),
+    checkpoint: "str | None" = None,
+):
+    """Token-cap ``foreachBatch`` sink: each micro-batch commits at most
+    ``cap`` rows — the lowest-``key_cols`` rows, a total order so the
+    admitted set is deterministic — to ``out_dir/written``; the overflow
+    goes to ``out_dir/deferred`` (explicit backpressure: the deferred
+    spill is durable, auditable, and re-ingestable, instead of the
+    invisible lag a slow sink otherwise accumulates).
+
+    Rate limiting in Structured Streaming is natively source-side
+    (``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``); this is the
+    SINK-side half a quota-bound downstream (an API, a rate-limited
+    warehouse load) needs.  Both writes ride the same micro-batch
+    transaction scope: per-batch ordering + anti-join on the admit keys,
+    so written ∪ deferred == batch and written ∩ deferred == ∅.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    keys = list(key_cols)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        admitted = batch_df.orderBy(*keys).limit(cap).persist()
+        admitted.write.mode("append").parquet(f"{out_dir}/written")
+        batch_df.join(
+            admitted.select(*keys), keys, "left_anti"
+        ).write.mode("append").parquet(f"{out_dir}/deferred")
+        admitted.unpersist()
+        batch_df.unpersist()
+
+    writer = stream.writeStream.foreachBatch(handle)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

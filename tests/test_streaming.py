@@ -347,3 +347,48 @@ def test_streaming_neardup_state_expiry(spark, tmp_path):
     for got in (control, expired):
         assert got[(first, 0)] is False
         assert got[("f2", 0)] is False and got[("f3", 0)] is False
+
+
+def test_rate_limited_sink_partitions_batch_exactly(spark, tmp_path):
+    from data_caterer_spark.streaming.quality_stream import (
+        rate_limited_sink,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.range(100).selectExpr(
+        "CAST(id AS STRING) conv_id", "CAST(id AS INT) turn_idx"
+    ).coalesce(1).write.parquet(inp)
+    schema = "conv_id string, turn_idx int"
+    stream = spark.readStream.schema(schema).parquet(inp)
+    q = (
+        rate_limited_sink(
+            stream, out, cap=30, checkpoint=str(tmp_path / "cp")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    written = spark.read.schema(schema).parquet(f"{out}/written")
+    deferred = spark.read.schema(schema).parquet(f"{out}/deferred")
+    # one batch (one file): written = 30 lowest keys, deferred = rest,
+    # disjoint and exhaustive
+    w_ids = sorted(r.conv_id for r in written.collect())
+    d_ids = sorted(r.conv_id for r in deferred.collect())
+    assert len(w_ids) == 30 and len(d_ids) == 70
+    assert set(w_ids).isdisjoint(d_ids)
+    assert sorted(w_ids) == sorted(
+        str(i) for i in range(100)
+        if str(i) <= sorted(str(j) for j in range(100))[29]
+    )
+
+
+def test_rate_limited_sink_rejects_bad_cap(spark):
+    import pytest
+
+    from data_caterer_spark.streaming.quality_stream import (
+        rate_limited_sink,
+    )
+
+    with pytest.raises(ValueError, match="cap"):
+        rate_limited_sink(None, "/tmp/x", cap=0)
