@@ -6238,6 +6238,10 @@ _DRIVER_PRIORITY = [
     "asof_last_click",
     "quality_classifier_scores",
     "streaming_neardup_dedup",
+    # one slack slot under the 50-cap (8 never-checked + 12 new + 4
+    # behavior-changed + 25 r02-stale = 49): promote the most
+    # behavior-rich r03-stale query
+    "bpe_token_counts",
     # last driver row is r02 (3 rounds stale) — all 25 re-enter the cap
     "doc_quality_filter",
     "transcript_quality_filter",
@@ -6270,7 +6274,6 @@ _DRIVER_PRIORITY = [
     # the full driver_sim sweep and the sf0.001 pytest gate.  Behavior-
     # rich pipelines first so any cap slack reaches them before the
     # golden-replayed generator/codec entries at the tail.
-    "bpe_token_counts",
     "semantic_dedup_drops",
     "winnowing_overlap",
     "pretrain_packing_bins",
