@@ -513,7 +513,13 @@ def main() -> None:
     # 32 threads
     scaling = None
     if args.job == "all" and os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        scaling = run_scaling()
+        # base width N (wide = 4N).  The default 4->16 maximizes parallel
+        # work; 2->8 halves the wide config's DRAM footprint — useful when
+        # the co-tenant streaming wave never opens a 16-core quiet window
+        # (both satisfy the brief's "N and 4N cores" form).
+        scaling = run_scaling(
+            n=int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))
+        )
 
     total = round(sum(timings.values()), 3)
     result = {
