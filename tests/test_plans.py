@@ -291,3 +291,50 @@ def test_aqe_splits_planted_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_edit_distance_blocking_is_equi_join(spark, sf_dir):
+    """The length-bucket blocker must plan as a hash equi-join — the
+    naive |len(a)-len(b)| <= d predicate alone would go nested-loop."""
+    from data_caterer_spark.operators.dedup import (
+        edit_distance_neardup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(
+        edit_distance_neardup_pairs(docs, max_distance=10, prefix_chars=60)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pivot_explicit_domain_single_aggregate(spark, sf_dir):
+    """Pivot with a declared value list: ONE aggregate, ONE exchange —
+    no extra distinct-values scan job."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", ["de", "en", "es", "fr", "zh"])
+        .agg(F.count(F.lit(1)))
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1, plan
+    # partial + final hash aggregate pair = map-side combine intact
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_rollup_single_pass(spark, sf_dir):
+    """ROLLUP expands grouping sets map-side: one exchange, one
+    aggregate pair — not one scan per level."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.rollup("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s")
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1, plan
+    assert "Expand" in plan, plan
+    assert plan.lower().count("filescan parquet") == 1, plan
