@@ -110,7 +110,20 @@ class SnapshotTable:
         tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(meta, f)
-        os.rename(tmp, final)
+        try:
+            # link(2) fails if the target exists — an atomic
+            # compare-and-swap on the snapshot id, so two racing writers
+            # cannot both claim snapshot N+1 (the loser raises instead
+            # of silently clobbering; real Iceberg retries on a fresh
+            # parent, callers here can do the same)
+            os.link(tmp, final)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit: snapshot {new_id} already exists "
+                f"at {self.path}"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return new_id
 
     def append(self, df: DataFrame) -> int:
