@@ -198,7 +198,11 @@ def _window_quiet(hw: "dict | None") -> bool:
     )
 
 
-def run_scaling(n: int = 4) -> dict | None:
+def run_scaling(
+    n: int = 4,
+    quiet_wait: "float | None" = None,
+    budget: "float | None" = None,
+) -> dict | None:
     """Two-cluster-size evidence (BASELINE: efficiency >= 0.8 from N to 4N
     executors).  No real cluster in this sandbox, so the same job runs at
     two parallelism levels — taskset-pinned local[N] vs local[4N] in fresh
@@ -231,7 +235,11 @@ def run_scaling(n: int = 4) -> dict | None:
     rates: dict[int, list[float]] = {n: [], n * 4: []}
     trial_log: list[dict] = []
     durs: dict[int, float] = {}
-    budget_s = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "700"))
+    budget_s = (
+        budget
+        if budget is not None
+        else float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "700"))
+    )
 
     hw_before = _hw_ceiling(n)
     # Probe-gated start (bounded): a saturated co-tenant DRAM window caps
@@ -246,7 +254,10 @@ def run_scaling(n: int = 4) -> dict | None:
     # delay the measurement but cannot select its outcome; the probe that
     # released (or timed out) the gate ships as hw_ceiling_before and the
     # waited seconds ship as quiet_wait_s.
-    quiet_wait = float(os.environ.get("SPARK_GRAFT_SCALING_QUIET_WAIT", "600"))
+    if quiet_wait is None:
+        quiet_wait = float(
+            os.environ.get("SPARK_GRAFT_SCALING_QUIET_WAIT", "600")
+        )
     t_gate = time.time()
     while (
         hw_before
