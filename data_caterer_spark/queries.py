@@ -6265,24 +6265,25 @@ _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
     """,
 )
 def pivot_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long -> wide) over an EXPLICIT value list: with the pivot
-    domain declared, Spark skips the extra distinct-values job and plans
-    ONE combinable aggregate whose partials hold |values| counters per
-    key — the corpus-composition matrix (source × language) at any
-    scale.  An unlisted-domain pivot would first scan for distinct
-    values; never do that at 100 TB."""
+    """Pivot (long -> wide) over an EXPLICIT value list, compiled to
+    conditional aggregation: ONE combinable aggregate whose map-side
+    partials hold |values| counters per key — one exchange total — the
+    corpus-composition matrix (source × language) at any scale.
+
+    Native ``.pivot(col, values)`` is NOT this plan even with the
+    domain declared: Spark first aggregates on (key, pivot) then runs a
+    second PivotFirst aggregate on key — two exchanges, the wider one
+    keyed on the full (key, pivot) combination.  ``count(CASE WHEN ..)``
+    per declared value is the single-exchange form (and what the SQL
+    ``FILTER`` oracle spells).  An unlisted-domain pivot would
+    additionally scan for distinct values first; never do that at
+    100 TB."""
     docs = _read(spark, sf_dir, "documents")
-    out = (
-        docs.groupBy("source")
-        .pivot("lang", _PIVOT_LANGS)
-        .agg(F.count(F.lit(1)))
-    )
-    return out.select(
-        "source",
+    return docs.groupBy("source").agg(
         *[
-            F.coalesce(F.col(lg), F.lit(0)).cast("bigint").alias(f"n_{lg}")
+            F.count(F.when(F.col("lang") == lg, 1)).alias(f"n_{lg}")
             for lg in _PIVOT_LANGS
-        ],
+        ]
     )
 
 

@@ -309,20 +309,19 @@ def test_edit_distance_blocking_is_equi_join(spark, sf_dir):
 
 
 def test_pivot_explicit_domain_single_aggregate(spark, sf_dir):
-    """Pivot with a declared value list: ONE aggregate, ONE exchange —
-    no extra distinct-values scan job."""
-    from pyspark.sql import functions as F
+    """The explicit-domain pivot query compiles to conditional
+    aggregation: ONE aggregate pair, ONE exchange — neither the extra
+    distinct-values scan of an unlisted pivot nor the two-exchange
+    (key,pivot)-pre-agg + PivotFirst plan that native .pivot(col,
+    values) produces even with the domain declared."""
+    from data_caterer_spark.queries import pivot_lang_by_source
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = (
-        docs.groupBy("source")
-        .pivot("lang", ["de", "en", "es", "fr", "zh"])
-        .agg(F.count(F.lit(1)))
-    )
+    out = pivot_lang_by_source(spark, sf_dir)
     plan = _plan(out)
     assert plan.count("Exchange") == 1, plan
     # partial + final hash aggregate pair = map-side combine intact
     assert plan.count("HashAggregate") == 2, plan
+    assert "PivotFirst" not in plan and "pivotfirst" not in plan, plan
 
 
 def test_rollup_single_pass(spark, sf_dir):
