@@ -6411,6 +6411,97 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# round 5 batch 3: CUBE grouping sets + exact deterministic stratified
+# sampling (registered below the round-5 driver cap — see _DRIVER_PRIORITY)
+# ===========================================================================
+
+
+@_q(
+    "cube_source_lang_matrix",
+    """
+    SELECT coalesce(source, '(all)') AS source,
+           coalesce(lang, '(all)') AS lang,
+           CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY CUBE(source, lang)
+    """,
+)
+def cube_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cross-tab accounting (CUBE) — every marginal of the
+    (source, lang) matrix in ONE pass: per-cell, per-source, per-lang,
+    and grand total.  Same single-exchange Expand plan as ROLLUP
+    (grouping sets expand map-side; one combinable aggregate), but CUBE
+    adds the column marginals ROLLUP's hierarchy drops — the view a
+    corpus-mix dashboard reads.  grouping_id (source=MSB) disambiguates
+    real NULL keys from subtotal rows."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "gid",
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+@_q(
+    "stratified_sample_exact",
+    """
+    SELECT source, doc_id, lang, n_chars, rank FROM (
+        SELECT source, doc_id, lang, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) AS INT) AS rank
+        FROM documents
+    )
+    WHERE rank <= 5
+    """,
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified sampling: precisely k docs per stratum, chosen
+    by a content-derived hash order (md5 over a salted doc_id) — unlike
+    ``df.sampleBy``, whose Bernoulli draw only hits the target count in
+    expectation and varies with partitioning.  The hash IS the sampling
+    randomness: uniform, deterministic, cluster-size invariant, and
+    reproducible by any engine (the oracle spells the identical md5), so
+    audits can re-derive the sample without the original run.  Executes
+    as the salted two-phase grouped top-k (operators/topk.py) — a hot
+    stratum spreads over 16 reducers in phase 1, the final shuffle
+    carries ~strata×16×k rows, never the corpus."""
+    from .operators.topk import grouped_topk
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))).alias(
+            "__key"
+        ),
+    )
+    return grouped_topk(
+        docs,
+        ["source"],
+        "__key",
+        5,
+        tiebreak_cols=["doc_id"],
+        descending=False,
+    ).select("source", "doc_id", "lang", "n_chars", "rank")
+
+
 _DRIVER_PRIORITY = [
     # ---- round-5 cap (50): the 8 queries never in ANY driver artifact
     # (union r1-r4) run FIRST — VERDICT r4 next-steps item #3
@@ -6472,7 +6563,12 @@ _DRIVER_PRIORITY = [
     "generate_typed_invariants",
     "set_ops_orphan_keys",
     "set_ops_shared_keys_count",
-    # ---- the 50-cap ends just above.  Below: last driver row r03 —
+    # ---- the 50-cap ends just above.  Round-5 LATE additions
+    # (cube_source_lang_matrix, stratified_sample_exact) are registered
+    # after the cap was frozen and sit below it deliberately: they ship
+    # driver-unchecked this round but value-hash-verified by the full
+    # driver_sim sweep at sf0.01 and the pytest oracle gate at sf0.001.
+    # Below: last driver row r03 —
     # after this round every such query is exactly 2 rounds stale, the
     # rotation's documented bound; all are re-verified every round by
     # the full driver_sim sweep and the sf0.001 pytest gate.  Behavior-

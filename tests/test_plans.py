@@ -337,3 +337,32 @@ def test_rollup_single_pass(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "Expand" in plan, plan
     assert plan.lower().count("filescan parquet") == 1, plan
+
+
+def test_cube_single_pass(spark, sf_dir):
+    """CUBE is the same single-exchange Expand plan as ROLLUP — all four
+    grouping sets expand map-side off one scan."""
+    from data_caterer_spark.queries import cube_source_lang_matrix
+
+    plan = _plan(cube_source_lang_matrix(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Expand" in plan, plan
+    assert plan.lower().count("filescan parquet") == 1, plan
+
+
+def test_stratified_sample_salted_two_phase(spark, sf_dir):
+    """The exact stratified sample runs the salted two-phase top-k: a
+    salt-bucketed phase-1 window prunes before the per-stratum final
+    window, and nothing sorts the corpus globally."""
+    from data_caterer_spark.queries import stratified_sample_exact
+
+    plan = _plan(stratified_sample_exact(spark, sf_dir))
+    # phase-1 (source, salt) exchange + phase-2 (source) exchange
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("+- Window ") == 2, plan
+    # Spark 4 pushes the row_number limit map-side (Partial) AND
+    # reduce-side (Final) around BOTH exchanges — each shuffle carries
+    # at most k rows per (stratum[, salt]) group, not the corpus
+    assert plan.count("WindowGroupLimit") == 4, plan
+    # both sorts are partition-local (no global Sort / range exchange)
+    assert "rangepartitioning" not in plan.lower(), plan
